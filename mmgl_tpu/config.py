@@ -1,0 +1,156 @@
+"""Public configuration surface.
+
+Mirrors the reference `Arguments` dataclass (run_generation.py:66-229) flag for
+flag so that a user of the reference can drive this framework with the same
+command lines, and adds TPU-specific knobs (mesh shape, dtypes, remat) that
+replace the reference's DDP/NCCL environment assumptions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class Arguments:
+    # ---- data (reference run_generation.py:75-92) ----
+    overwrite_cache: bool = False
+    dataset: str = "wikiweb2m"
+    task: str = "section"
+    context: str = "section_only"  # section_only | section_all | text_only | all
+    max_input_length: int = 512
+    max_output_length: int = 128
+
+    # ---- logging (reference :94-108) ----
+    wandb_project: str = "MMGL"
+    wandb_run: str = "default"
+    log_dir: str = "log"
+    save_dir: Optional[str] = None
+    resume: Optional[str] = None
+
+    # ---- precision & seeding (reference :110-118) ----
+    seed: Optional[int] = None
+    fp16: bool = False   # kept for surface parity; TPU path maps it to fp32
+    bf16: bool = False
+
+    test: bool = False
+
+    # ---- batching (reference :124-132) ----
+    per_device_train_batch_size: int = 4
+    per_device_val_batch_size: int = 4
+    dataloader_num_workers: int = 4
+
+    # ---- schedule (reference :134-148) ----
+    start_epoch: int = 0
+    epochs: int = 90
+    steps_per_epoch: int = 2000
+    val_steps_per_epoch: int = 1000
+    print_freq: int = 50
+
+    # ---- optimization (reference :150-176) ----
+    learning_rate: float = 0.001
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.95
+    weight_decay: float = 0.01
+    grad_accumulation_steps: int = 4
+    grad_clip: float = 1.0
+    lr_warmup_steps: int = 2000
+    lr_schedule_step_size: int = 5
+    lr_schedule_gamma: float = 0.1
+
+    # ---- model (reference :178-213) ----
+    model_name_or_path: Optional[str] = None
+    decoder_only: bool = False
+    cross_attention: bool = False
+    text_model: str = "roberta-base"
+    visual_model: str = "openai/clip-vit-base-patch16"
+    n_text_tokens: int = 4
+    n_visual_tokens: int = 4
+    freeze_lm: bool = False
+    neighbor_mode: str = "raw"  # raw | embedding | cross_attention
+    max_text_neighbors: int = 11
+    max_image_neighbors: int = 5
+    position_type: str = "none"  # none | embedding | laplacian | gnn
+
+    # ---- PEFT (reference :215-229) ----
+    num_neighbor_layers: int = 4  # == reference's intended `neighbor_layer_wise`
+    peft_type: str = "none"  # none | prefix | prompt | lora | flamingo
+    lora_r: int = 64
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+
+    # ---- TPU-native extensions (no reference equivalent; replace DDP/NCCL) ----
+    data_dir: str = "./wikiweb2m/raw"     # parquet/pickle/image root (data.py:46)
+    mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model) axes over the device grid
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    remat: bool = False                   # activation checkpointing (jax.checkpoint)
+    use_pallas: bool = True               # fused attention kernels on TPU
+    cache_neighbor_embeddings: bool = False  # precompute frozen-tower outputs
+    tokenizer_path: Optional[str] = None  # local HF tokenizer dir; None -> byte tokenizer
+    strict_compat: bool = False           # reproduce reference quirks (SURVEY §3.6) verbatim
+    prefetch_batches: int = 10            # loader prefetch depth (DataLoader prefetch_factor=10)
+    log_to_wandb: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.mesh_shape, list):
+            self.mesh_shape = tuple(self.mesh_shape)
+        if isinstance(self.mesh_axes, list):
+            self.mesh_axes = tuple(self.mesh_axes)
+
+    @property
+    def neighbor_layer_wise(self) -> int:
+        """Insert one cross-attn layer after every k-th self-attn layer.
+
+        The reference reads `args.neighbor_layer_wise` (modelling_cross_attention.py:92)
+        but only defines `num_neighbor_layers` (run_generation.py:215-217) — Q2 in
+        SURVEY §3.6. We implement the intended semantics: with L self-attn layers
+        and `num_neighbor_layers` cross-attn layers, interleave every
+        L // num_neighbor_layers layers.
+        """
+        return max(1, self.num_neighbor_layers)
+
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(Arguments) if f.type in ("bool", bool)
+}
+
+
+def parse_args(argv=None) -> Arguments:
+    """CLI parser with the same flag names as the reference's HfArgumentParser."""
+    parser = argparse.ArgumentParser(description="MMGL-TPU generation fine-tuning")
+    for f in dataclasses.fields(Arguments):
+        name = "--" + f.name
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.name in _BOOL_FIELDS:
+            parser.add_argument(name, type=_str2bool, nargs="?", const=True,
+                                default=default)
+        elif f.name in ("mesh_shape", "mesh_axes"):
+            parser.add_argument(name, type=str, default=None)
+        elif f.type in ("int", "Optional[int]"):
+            parser.add_argument(name, type=int, default=default)
+        elif f.type in ("float", "Optional[float]"):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+    ns = parser.parse_args(argv)
+    kwargs = vars(ns)
+    if kwargs.get("mesh_shape") is None:
+        kwargs["mesh_shape"] = (1, 1)
+    elif isinstance(kwargs["mesh_shape"], str):
+        kwargs["mesh_shape"] = tuple(int(x) for x in kwargs["mesh_shape"].split(",") if x)
+    if kwargs.get("mesh_axes") is None:
+        kwargs["mesh_axes"] = ("data", "model")
+    elif isinstance(kwargs["mesh_axes"], str):
+        kwargs["mesh_axes"] = tuple(x for x in kwargs["mesh_axes"].split(",") if x)
+    return Arguments(**kwargs)
+
+
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "t", "yes", "y")
