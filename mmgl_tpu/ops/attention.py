@@ -1,0 +1,119 @@
+"""Attention dispatch: Pallas fused kernels on TPU, XLA einsum fallback.
+
+This is the framework's single attention entry point; every model (OPT, T5,
+MPT cross-attn, Roberta, CLIP) routes through it. Semantics match the
+reference's stock torch attention (modelling_cross_attention.py:212-258):
+scaled QK^T, additive mask, fp32 softmax, PV — but fused on TPU instead of
+materializing the (B,H,Sq,Sk) weights in HBM.
+
+Layout: q,k,v are (batch, seq, heads, head_dim) — BSHD, flax convention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+
+
+def _supports_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_mask: Optional[jax.Array] = None,
+    pairwise_mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused multi-head attention.
+
+    Args:
+      q: (B, Sq, H, D) queries.
+      k, v: (B, Sk, H, D) keys/values (H may be 1 for MQA-style broadcast).
+      kv_mask: (B, Sk) 1/0 key validity mask (e.g. padding or neighbor mask).
+      pairwise_mask: (B, Sq, Sk) boolean/0-1 mask for arbitrary patterns
+        (prefix-LM etc.); XLA path only.
+      bias: additive (B or 1, H or 1, Sq, Sk) bias (e.g. T5 relative positions);
+        XLA path only for now.
+      causal: apply causal masking (queries attend to keys <= their position).
+      scale: QK scale; default D**-0.5.
+      dropout_rate/dropout_rng: attention-prob dropout (XLA path only).
+      use_pallas: force kernel choice; None = auto (TPU and no bias/dropout).
+      interpret: run the Pallas kernel in interpreter mode (CPU tests).
+
+    Returns:
+      (B, Sq, H, D) attention output in q.dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    wants_pallas = use_pallas if use_pallas is not None else _supports_pallas()
+    pallas_ok = (
+        bias is None
+        and pairwise_mask is None
+        and dropout_rate == 0.0
+        and q.shape[-1] <= 256
+    )
+    if wants_pallas and pallas_ok:
+        from mmgl_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
+            interpret=interpret,
+        )
+    return xla_attention(
+        q, k, v, kv_mask=kv_mask, pairwise_mask=pairwise_mask, bias=bias,
+        causal=causal, scale=scale, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+    )
+
+
+def xla_attention(
+    q, k, v, *, kv_mask=None, pairwise_mask=None, bias=None, causal=False,
+    scale=None, dropout_rate=0.0, dropout_rng=None,
+):
+    """Reference attention: einsum + fp32 softmax. XLA fuses the elementwise ops."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if k.shape[2] == 1 and h > 1:  # broadcast single-head KV
+        k = jnp.broadcast_to(k, (b, sk, h, d))
+        v = jnp.broadcast_to(v, (b, sk, h, v.shape[-1]))
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :].astype(bool), logits, NEG_INF)
+    if pairwise_mask is not None:
+        logits = jnp.where(pairwise_mask[:, None, :, :].astype(bool), logits, NEG_INF)
+    if causal:
+        q_idx = jnp.arange(sq)[:, None] + (sk - sq)  # align ends (KV cache decode)
+        k_idx = jnp.arange(sk)[None, :]
+        logits = jnp.where((q_idx >= k_idx)[None, None], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

@@ -1,0 +1,251 @@
+"""Pallas TPU fused attention (forward + custom VJP).
+
+Design point: MMGL's attention shapes are small and fixed — decoder-only
+sequences of 512+128=640 tokens, encoder 512, neighbor cross-attention KV of
+(max_text+max_image) x n_tokens = 64 soft tokens (SURVEY §5 "long-context").
+At these sizes the whole K/V for one (batch, head) fits comfortably in VMEM,
+so instead of a streaming flash kernel we fuse the entire row-block softmax:
+
+  forward : grid (B*H, Sq/BQ) — one MXU pass QK^T, fp32 softmax in VMEM,
+            one MXU pass PV. The (Sq, Sk) weight matrix never touches HBM
+            (the reference materializes it per layer via torch.bmm —
+            modelling_cross_attention.py:212-258).
+  backward: grid (B*H,) — full recompute of P per (b,h), then the standard
+            dS = P*(dO V^T - rowsum(dO*O)) giving dQ, dK, dV in two MXU
+            passes each.
+
+Envelope: Sk*D and Sq*Sk fp32 must fit VMEM => seq <= ~1024 for the fused
+backward at D=64. Longer sequences fall back to XLA attention (ops/attention.py),
+which XLA pipelines itself. Masking: key-validity mask (padding / neighbor
+pos_id>0 semantics, modelling_self_attention.py:268-269) plus optional causal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BQ = 256  # query rows per program in the forward kernel
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
+    qblk = q_ref[0].astype(jnp.float32)          # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)             # (Sk, D)
+    v = v_ref[0].astype(jnp.float32)             # (Sk, D)
+    kv_mask = mask_ref[0, 0]                     # (Sk,) int32
+
+    logits = jax.lax.dot_general(
+        qblk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                    # (BQ, Sk)
+
+    logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
+    if causal:
+        j = pl.program_id(1)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + j * BQ
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        # align sequence ends so KV-cache decode (sq < sk) stays causal
+        logits = jnp.where(q_idx + (sk - sq) >= k_idx, logits, NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _fwd(q, k, v, kv_mask, scale, causal, interpret):
+    """q: (BH, Sq, D); k/v: (BH, Sk, D); kv_mask: (BH, Sk) int32."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    q_p = _pad_to(q, 1, BQ)
+    k_p = _pad_to(k, 1, 128)
+    v_p = _pad_to(v, 1, 128)
+    mask_p = _pad_to(kv_mask, 1, 128, value=0)[:, None, :]  # (bh, 1, sk_p)
+    sq_p, sk_p = q_p.shape[1], k_p.shape[1]
+
+    grid = (bh, sq_p // BQ)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal, sq=sq, sk=sk),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * sk_p * d,
+            bytes_accessed=(q_p.size + k_p.size + v_p.size) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, mask_p)
+    return out[:, :sq]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, causal, sq, sk):
+    q = q_ref[0].astype(jnp.float32)     # (Sq, D)
+    k = k_ref[0].astype(jnp.float32)     # (Sk, D)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    kv_mask = mask_ref[0, 0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                            # (Sq, Sk)
+    logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
+    if causal:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(q_idx + (sk - sq) >= k_idx, logits, NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)   # (Sq, Sk)
+
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                             # (Sq, Sk)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale                 # (Sq, Sk)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _bwd(q, k, v, kv_mask, scale, causal, interpret, out, dout):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    q_p = _pad_to(q, 1, 128)
+    o_p = _pad_to(out, 1, 128)
+    do_p = _pad_to(dout, 1, 128)
+    k_p = _pad_to(k, 1, 128)
+    v_p = _pad_to(v, 1, 128)
+    mask_p = _pad_to(kv_mask, 1, 128, value=0)[:, None, :]  # (bh, 1, sk_p)
+    sq_p, sk_p = q_p.shape[1], k_p.shape[1]
+
+    q_spec = pl.BlockSpec((1, sq_p, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, sk_p, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal, sq=sq, sk=sk),
+        out_shape=(
+            jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_p.shape, k.dtype),
+            jax.ShapeDtypeStruct(v_p.shape, v.dtype),
+        ),
+        grid=(bh,),
+        in_specs=[
+            q_spec, k_spec, k_spec,
+            pl.BlockSpec((1, 1, sk_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec, q_spec,
+        ],
+        out_specs=(q_spec, k_spec, k_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq_p * sk_p * d,
+            bytes_accessed=3 * (q_p.size + k_p.size + v_p.size) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, mask_p, do_p, o_p)
+    return dq[:, :sq], dk[:, :sk], dv[:, :sk]
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, kv_mask, scale, causal, interpret):
+    return _fwd(q, k, v, kv_mask, scale, causal, interpret)
+
+
+def _flash_fwd(q, k, v, kv_mask, scale, causal, interpret):
+    out = _fwd(q, k, v, kv_mask, scale, causal, interpret)
+    return out, (q, k, v, kv_mask, out)
+
+
+def _flash_bwd(scale, causal, interpret, res, dout):
+    q, k, v, kv_mask, out = res
+    dq, dk, dv = _bwd(q, k, v, kv_mask, scale, causal, interpret, out, dout)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention over BSHD tensors (see module docstring for envelope)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    if k.shape[2] == 1 and h > 1:
+        k = jnp.broadcast_to(k, (b, sk, h, d))
+        v = jnp.broadcast_to(v, (b, sk, h, v.shape[-1]))
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), dtype=jnp.int32)
+    kv_mask = kv_mask.astype(jnp.int32)
+
+    # BSHD -> (B*H, S, D)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    maskf = jnp.repeat(kv_mask, h, axis=0)
+
+    out = _flash(qf, kf, vf, maskf, float(scale), bool(causal), bool(interpret))
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,93 @@
+"""Pallas fused attention vs XLA reference attention (fwd + grad).
+
+Runs the kernels in interpreter mode on CPU (the same code path compiles on
+TPU; bench.py exercises the compiled kernels on the real chip).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgl_tpu.ops.attention import xla_attention
+from mmgl_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def _make_qkv(b=2, sq=64, sk=64, h=4, d=32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = _rand(ks[0], b, sq, h, d)
+    k = _rand(ks[1], b, sk, h, d)
+    v = _rand(ks[2], b, sk, h, d)
+    mask = (jax.random.uniform(ks[3], (b, sk)) > 0.2).astype(jnp.int32)
+    mask = mask.at[:, 0].set(1)  # never fully masked
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_xla(causal):
+    q, k, v, mask = _make_qkv()
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+    got = flash_attention(q, k, v, kv_mask=mask, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_forward_unpadded_lengths():
+    # sq=50, sk=70 exercise the padding path
+    q, k, v, mask = _make_qkv(b=1, sq=50, sk=70, h=2, d=16, seed=1)
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=False)
+    got = flash_attention(q, k, v, kv_mask=mask, causal=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_cross_attention_shape():
+    # neighbor cross-attention shape: long queries, 64 soft-token KV
+    q, k, v, mask = _make_qkv(b=2, sq=96, sk=64, h=2, d=16, seed=2)
+    ref = xla_attention(q, k, v, kv_mask=mask)
+    got = flash_attention(q, k, v, kv_mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_kv_cache_decode_alignment():
+    # sq=1 single-step decode against sk=32 cache: causal must align ends
+    q, k, v, _ = _make_qkv(b=1, sq=32, sk=32, h=2, d=16, seed=3)
+    full = xla_attention(q, k, v, causal=True)
+    last = flash_attention(q[:, -1:], k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(last[:, 0]), np.asarray(full[:, -1]),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_xla(causal):
+    q, k, v, mask = _make_qkv(b=1, sq=32, sk=32, h=2, d=16, seed=4)
+
+    def loss_ref(q, k, v):
+        out = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_mask=mask, causal=causal,
+                              interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # tolerance = the measured f32 noise floor: against an f64 ground truth,
+    # XLA autodiff and this kernel's VJP are each ~5e-3 off; they agree with
+    # each other to the same level.
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-3)
+
+
+def test_fully_masked_rows_finite():
+    q, k, v, _ = _make_qkv(b=1, sq=8, sk=8, h=1, d=8, seed=5)
+    mask = jnp.zeros((1, 8), dtype=jnp.int32)
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
