@@ -67,6 +67,7 @@ def multi_head_attention(
         and pairwise_mask is None
         and dropout_rate == 0.0
         and q.shape[-1] <= 256
+        and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
     )
     if wants_pallas and pallas_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention

@@ -1,0 +1,55 @@
+"""Loss functions.
+
+Reproduces the reference's loss semantics:
+  * decoder-only: shifted CE over the whole sequence — including prompt and
+    pad tokens, SURVEY Q10 — with -100 positions (neighbor soft tokens, image
+    splices) excluded (modelling_cross_attention.py:826-836 and HF OPT).
+  * encoder-decoder: CE over summary labels, 0/pad masked to -100
+    (data.py:284).
+  * summary_loss: the decoder-only logging metric restricted to the label
+    span with pad ignored (run_generation.py:470-481).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+def _token_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-token CE in fp32; labels < 0 produce 0 with 0 weight."""
+    logits = logits.astype(jnp.float32)
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, logz - gold, 0.0), valid
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Shifted CE: logits[:, :-1] predict labels[:, 1:]."""
+    ce, valid = _token_ce(logits[:, :-1], labels[:, 1:])
+    return ce.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def seq2seq_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Unshifted CE (decoder inputs already shifted right)."""
+    ce, valid = _token_ce(logits, labels)
+    return ce.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def summary_loss(logits: jax.Array, labels: jax.Array, max_input_length: int,
+                 pad_token_id: int) -> jax.Array:
+    """Decoder-only logging loss over the label span only
+    (run_generation.py:470-481): logits[max_input:-1] vs
+    labels[max_input+1:], pads ignored."""
+    shift_logits = logits[:, max_input_length:-1]
+    shift_labels = labels[:, max_input_length + 1:]
+    diff = shift_logits.shape[1] - shift_labels.shape[1]
+    if diff > 0:
+        shift_logits = shift_logits[:, :-diff]
+    masked = jnp.where(shift_labels == pad_token_id, IGNORE_INDEX, shift_labels)
+    ce, valid = _token_ce(shift_logits, masked)
+    return ce.sum() / jnp.maximum(valid.sum(), 1)

@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# JAX CPU matmuls default to a fast low-precision path (measured ~6e-2 abs
+# error vs f64 on unit-scale inputs); parity tests against torch need true f32.
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
