@@ -1,0 +1,341 @@
+"""Training/eval driver — counterpart of language_modelling/run_generation.py.
+
+Same public surface (Arguments flags, metric names, best-BLEU4 checkpoint
+selection, epoch-0 pre-train eval, final test pass with the best checkpoint)
+with the DDP machinery replaced by a device mesh: one process drives all
+local TPU chips; pjit shards the batch over the "data" axis and (optionally)
+params over "model".
+
+Data: real WikiWeb2M parquet if present under --data_dir, else a synthetic
+corpus (tests/benchmarks; the ETL in data/preprocess.py produces the real
+files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmgl_tpu.config import Arguments, parse_args
+from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
+from mmgl_tpu.data.loader import PrefetchLoader
+from mmgl_tpu.data.synthetic import make_synthetic_corpus
+from mmgl_tpu.metrics import Cider, bleu_score, rouge_score
+from mmgl_tpu.models.factory import build_model, maybe_import_pretrained
+from mmgl_tpu.parallel import make_mesh, shard_batch, shard_params
+from mmgl_tpu.peft import count_params, trainable_mask
+from mmgl_tpu.train import checkpoints
+from mmgl_tpu.train.generate import greedy_generate
+from mmgl_tpu.train.optim import build_optimizer
+from mmgl_tpu.train.steps import (create_train_state, make_eval_step,
+                                  make_train_step)
+from mmgl_tpu.utils import AverageMeter, ProgressMeter, get_tokenizer
+
+
+def setup_data(args: Arguments, tokenizer):
+    cfg = AssemblerConfig.from_args(args)
+    parquet = os.path.join(args.data_dir, "wikiweb2m_train_large.parquet")
+    if os.path.exists(parquet):
+        from mmgl_tpu.data.store import load_wikiweb2m
+        from mmgl_tpu.data.images import disk_image_provider
+
+        train_s, val_s, test_s, ids = load_wikiweb2m(args.task, args.data_dir)
+        provider = disk_image_provider(args.data_dir, args.visual_model)
+        mk = lambda store, idl: WikiWeb2MAssembler(cfg, store, idl, tokenizer,
+                                                   provider)
+        return (mk(train_s, ids["train"]), mk(val_s, ids["val"]),
+                mk(test_s, ids["test"]))
+    # synthetic fallback
+    print(f"[data] no parquet under {args.data_dir}; using synthetic corpus")
+    cfg.image_size = 32 if "tiny" in (args.model_name_or_path or "") else 224
+    store, ids, provider = make_synthetic_corpus(
+        num_pages=32, image_size=cfg.image_size, seed=args.seed or 0)
+    n = len(ids)
+    cut1, cut2 = int(n * 0.8), int(n * 0.9)
+    mk = lambda idl: WikiWeb2MAssembler(cfg, store, idl, tokenizer, provider)
+    return mk(ids[:cut1]), mk(ids[cut1:cut2]), mk(ids[cut2:])
+
+
+def first_period_truncate(caption: str) -> str:
+    """Eval heuristic (run_generation.py:624-630)."""
+    stop = caption.find(".")
+    return caption[:stop] if stop > 5 else caption
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    run_training(args)
+
+
+def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
+    if args.seed is not None:
+        np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed or 0)
+
+    # log dir (run_generation.py:238-244)
+    i = 0
+    log_dir = os.path.join(args.log_dir, f"{args.wandb_run}_{i}")
+    while os.path.exists(log_dir):
+        i += 1
+        log_dir = os.path.join(args.log_dir, f"{args.wandb_run}_{i}")
+    os.makedirs(log_dir, exist_ok=True)
+    if args.save_dir is None:
+        args.save_dir = os.path.join(log_dir, "ckpt")
+
+    wandb_run = None
+    if args.log_to_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project,
+                                   name=args.wandb_run)
+            wandb_run.config.update(vars(args), allow_val_change=True)
+        except Exception as e:  # offline boxes
+            print(f"[wandb] disabled: {e}")
+
+    def log(scalars: Dict[str, float], step: int):
+        if wandb_run is not None:
+            wandb_run.log(scalars, step=step)
+        if log_fn is not None:
+            log_fn(scalars, step)
+
+    tokenizer = get_tokenizer(args.tokenizer_path)
+
+    # model select by substring (run_generation.py:286-301)
+    name = args.model_name_or_path or "opt-tiny"
+    args.decoder_only = "t5" not in name
+    args.cross_attention = "mpt" in name
+    model, fcfg = build_model(args, vocab_size=tokenizer.vocab_size)
+
+    train_ds, val_ds, test_ds = setup_data(args, tokenizer)
+    print(f"Training with {len(train_ds)} examples, validating with "
+          f"{len(val_ds)} examples, testing with {len(test_ds)} examples.")
+
+    mesh = make_mesh(args.mesh_shape, args.mesh_axes)
+    n_data = mesh.shape.get("data", 1)
+    global_bs = args.per_device_train_batch_size * n_data
+    val_bs = args.per_device_val_batch_size * n_data
+
+    # init params on a sample batch
+    sample_loader = PrefetchLoader(train_ds, batch_size=global_bs,
+                                   prefetch=1, num_workers=1)
+    sample_batch = next(iter(sample_loader))
+    variables = model.init(rng, sample_batch)
+    params = maybe_import_pretrained(dict(variables["params"]), args)
+
+    mask = trainable_mask(params, args.peft_type, args.freeze_lm)
+    counts = count_params(params, mask)
+    print(f"Total params: {counts['total']:,} | trainable: "
+          f"{counts['trainable']:,} | non-trainable: "
+          f"{counts['non_trainable']:,}")
+    if wandb_run is not None:
+        wandb_run.config.update({"total_params": counts["total"],
+                                 "trainable_params": counts["trainable"],
+                                 "non_trainable_params":
+                                 counts["non_trainable"]},
+                                allow_val_change=True)
+
+    tx = build_optimizer(args, mask)
+    with mesh:
+        params = shard_params(params, mesh)
+        state = create_train_state(params, tx)
+
+    # resume (run_generation.py:336-350)
+    best_acc1 = 0.0
+    if args.resume:
+        ckpt_path = os.path.join(args.log_dir, args.resume, "ckpt")
+        restored = checkpoints.restore_checkpoint(ckpt_path)
+        if restored is not None:
+            print(f"=> loaded checkpoint '{ckpt_path}' "
+                  f"(epoch {restored['epoch']})")
+            args.start_epoch = int(restored["epoch"])
+            best_acc1 = float(restored["best_acc1"])
+            state = state.replace(
+                params=checkpoints.merge_restored_params(
+                    dict(state.params), restored["params"]),
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]))
+        else:
+            print(f"=> no checkpoint found at '{ckpt_path}'")
+
+    accum = max(1, args.grad_accumulation_steps)
+    pad_id = tokenizer.pad_token_id
+    train_step = jax.jit(make_train_step(
+        model, tx, fcfg.decoder_only, args.max_input_length, pad_id,
+        grad_accumulation_steps=accum), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(
+        model, fcfg.decoder_only, args.max_input_length, pad_id))
+    generate_fn = jax.jit(partial(greedy_generate, model,
+                                  max_new_tokens=32))
+
+    train_loader = PrefetchLoader(
+        train_ds, batch_size=global_bs * accum, shuffle=True,
+        seed=args.seed or 0, prefetch=args.prefetch_batches,
+        num_workers=args.dataloader_num_workers)
+    val_loader = PrefetchLoader(val_ds, batch_size=val_bs,
+                                prefetch=args.prefetch_batches,
+                                num_workers=args.dataloader_num_workers)
+    test_loader = PrefetchLoader(test_ds, batch_size=val_bs,
+                                 prefetch=args.prefetch_batches,
+                                 num_workers=args.dataloader_num_workers)
+
+    def reshape_accum(batch):
+        if accum == 1:
+            return batch
+        return {k: v.reshape((accum, global_bs) + v.shape[1:])
+                for k, v in batch.items()}
+
+    if args.test:
+        results = evaluate_loop(test_loader, model, state, eval_step,
+                                generate_fn, tokenizer, args, fcfg, mesh,
+                                args.start_epoch, log, prefix="test")
+        return results
+
+    results = {}
+    updates_per_epoch = max(1, args.steps_per_epoch // accum)
+    for epoch in range(args.start_epoch, args.epochs):
+        epoch_start = time.time()
+        if epoch == 0:
+            evaluate_loop(val_loader, model, state, eval_step, generate_fn,
+                          tokenizer, args, fcfg, mesh, epoch - 1, log)
+
+        # ---- train (run_generation.py:430-524) ----
+        train_loader.set_epoch(epoch)
+        batch_time = AverageMeter("Time", ":6.3f")
+        data_time = AverageMeter("Data", ":6.3f")
+        losses = AverageMeter("Loss", ":.4e")
+        progress = ProgressMeter(updates_per_epoch, [batch_time, losses],
+                                 prefix=f"Epoch: [{epoch}]")
+        end = time.time()
+        it = iter(train_loader)
+        for u in range(updates_per_epoch):
+            try:
+                batch = next(it)
+            except StopIteration:
+                train_loader.set_epoch(epoch * 1000 + u)  # new pass
+                it = iter(train_loader)
+                batch = next(it)
+            data_time.update(time.time() - end)
+            rng, step_rng = jax.random.split(rng)
+            with mesh:
+                sharded = shard_batch(reshape_accum(batch), mesh)
+                state, metrics = train_step(state, sharded, step_rng)
+            loss_val = float(metrics["summary_loss" if fcfg.decoder_only
+                                     else "loss"])
+            losses.update(loss_val, global_bs)
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            actual_step = epoch * updates_per_epoch + u + 1
+            if actual_step == 1 or actual_step % args.print_freq == 0:
+                ex_per_sec = (global_bs * accum) / max(batch_time.avg, 1e-9)
+                progress.display(u + 1)
+                log({"train/loss": losses.avg,
+                     "metrics/total_secs_per_batch": batch_time.avg,
+                     "metrics/data_secs_per_batch": data_time.avg,
+                     "metrics/examples_per_sec": ex_per_sec}, actual_step)
+                losses.reset(); batch_time.reset(); data_time.reset()
+
+        # ---- validate + best checkpoint (run_generation.py:394-416) ----
+        results = evaluate_loop(val_loader, model, state, eval_step,
+                                generate_fn, tokenizer, args, fcfg, mesh,
+                                epoch, log)
+        acc1 = results["bleu4"]
+        if acc1 > best_acc1 or epoch == 0:
+            best_acc1 = max(acc1, best_acc1)
+            print("=> save best val model ...", args.save_dir)
+            checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
+        print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
+
+    # ---- final test with best checkpoint (run_generation.py:421-428) ----
+    restored = checkpoints.restore_checkpoint(args.save_dir)
+    if restored is not None:
+        state = state.replace(params=checkpoints.merge_restored_params(
+            dict(state.params), restored["params"]))
+    results = evaluate_loop(test_loader, model, state, eval_step, generate_fn,
+                            tokenizer, args, fcfg, mesh, args.epochs, log,
+                            prefix="test")
+    if wandb_run is not None:
+        wandb_run.finish()
+    return results
+
+
+def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
+                  args: Arguments, fcfg, mesh, epoch: int, log,
+                  prefix: str = "val") -> Dict[str, float]:
+    """Counterpart of run_generation.py:527-703."""
+    losses = AverageMeter("Loss", ":.4e")
+    all_preds, all_refs = [], []
+    steps = 0
+    variables = {"params": state.params}
+    for batch in loader:
+        with mesh:
+            sharded = shard_batch(batch, mesh)
+            out = eval_step(state.params, sharded)
+            if prefix == "test":
+                generated = generate_fn(variables, sharded)
+            else:
+                generated = out["predictions"]
+        losses.update(float(out["loss"]), batch["input_ids"].shape[0])
+
+        if fcfg.decoder_only:
+            labels = batch["labels"][:, args.max_input_length + 1:]
+        else:
+            labels = batch["labels"]
+        preds = tokenizer.batch_decode(np.asarray(generated),
+                                       skip_special_tokens=True)
+        labels = np.where(labels == -100, tokenizer.pad_token_id, labels)
+        refs = tokenizer.batch_decode(labels, skip_special_tokens=True)
+        for p, r in zip(preds, refs):
+            all_preds.append(first_period_truncate(p))
+            all_refs.append([r])
+        steps += 1
+        if steps >= args.val_steps_per_epoch:
+            break
+
+    if not all_preds:
+        return {"loss": losses.avg, "bleu4": 0.0}
+
+    print("=" * 30)
+    print(f"Computing BLEU with {len(all_preds)} generated captions and "
+          f"{len(all_refs)} groundtruth captions.")
+    for i, cap in enumerate(all_preds[:5]):
+        print(f"{i}) {cap}")
+    print("=" * 30)
+
+    bleus = [bleu_score(all_preds, all_refs, n_gram=n) for n in (1, 2, 3, 4)]
+    rouges = rouge_score(all_preds, all_refs)
+    cands = {i: [p] for i, p in enumerate(all_preds)}
+    refs = {i: r for i, r in enumerate(all_refs)}
+    cider, _ = Cider().compute_score(refs, cands)
+
+    print("BLEU", *bleus)
+    print("ROUGE", rouges["rouge1_fmeasure"], rouges["rouge2_fmeasure"],
+          rouges["rougeL_fmeasure"], rouges["rougeLsum_fmeasure"])
+    print("CIDER", cider)
+
+    actual_step = max(0, (epoch + 1) * args.steps_per_epoch
+                      // args.grad_accumulation_steps)
+    log({f"{prefix}/loss": losses.avg,
+         f"{prefix}/bleu1": bleus[0], f"{prefix}/bleu2": bleus[1],
+         f"{prefix}/bleu3": bleus[2], f"{prefix}/bleu4": bleus[3],
+         f"{prefix}/rouge1": rouges["rouge1_fmeasure"],
+         f"{prefix}/rouge2": rouges["rouge2_fmeasure"],
+         f"{prefix}/rougeL": rouges["rougeL_fmeasure"],
+         f"{prefix}/rougeLsum": rouges["rougeLsum_fmeasure"],
+         f"{prefix}/cider": cider}, actual_step)
+
+    return {"loss": losses.avg, "bleu1": bleus[0], "bleu2": bleus[1],
+            "bleu3": bleus[2], "bleu4": bleus[3], "cider": cider,
+            **{k: v for k, v in rouges.items()}}
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def _opt_config(args: Arguments, size: str, cross: bool) -> OPTConfig:
         hidden_size=hidden, num_hidden_layers=layers,
         num_attention_heads=heads, ffn_dim=ffn, word_embed_proj_dim=proj,
         do_layer_norm_before=(size != "350m"),
-        dropout=0.1, attention_dropout=0.0,
+        dropout=0.0 if size == "tiny" else 0.1, attention_dropout=0.0,
         cross_attention=cross,
         neighbor_layer_wise=max(1, layers // max(1, args.num_neighbor_layers)),
         peft_type=args.peft_type, lora_r=args.lora_r,

@@ -205,6 +205,21 @@ class MMGLModel(nn.Module):
                  deterministic: bool = True) -> Dict[str, jax.Array]:
         """Returns {"logits": ..., "labels": adjusted labels}."""
         cfg = self.config
+        fused = self._fuse(batch)
+        if cfg.uses_mpt_memory:
+            logits, _ = self.lm(
+                input_ids=fused["input_ids"],
+                attention_mask=fused["attention_mask"],
+                neighbor_embeds=fused["neighbor_embeds"],
+                neighbor_mask=fused["neighbor_mask"],
+                deterministic=deterministic)
+            return {"logits": logits, "labels": fused["labels"]}
+        return self._lm_forward(fused, deterministic)
+
+    def _fuse(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
+        """Shared fusion: neighbor encode + embed splice/append + PEFT
+        virtual tokens. Used by both training forward and generation prefill."""
+        cfg = self.config
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         input_ids = batch["input_ids"]
         attention_mask = batch["attention_mask"]
@@ -217,25 +232,20 @@ class MMGLModel(nn.Module):
 
         if cfg.uses_mpt_memory:
             if cfg.context != "section_only":
-                neighbor_embeds, neighbor_mask = self._build_neighbor_block(
-                    batch)
-                sn = neighbor_embeds.shape[1] * neighbor_embeds.shape[2]
-                neighbor_embeds = neighbor_embeds.reshape(b, sn, -1)
-                neighbor_mask = neighbor_mask.reshape(b, sn)
-            logits, _ = self.lm(
-                input_ids=input_ids, attention_mask=attention_mask,
-                neighbor_embeds=neighbor_embeds, neighbor_mask=neighbor_mask,
-                deterministic=deterministic)
-            return {"logits": logits, "labels": labels}
+                block, bmask = self._build_neighbor_block(batch)
+                sn = block.shape[1] * block.shape[2]
+                neighbor_embeds = block.reshape(b, sn, -1)
+                neighbor_mask = bmask.reshape(b, sn)
 
-        if cfg.neighbor_mode == "raw" and cfg.context in ("section_only",
-                                                          "text_only"):
-            pass  # plain LM call below
+        elif cfg.neighbor_mode == "raw" and cfg.context in ("section_only",
+                                                            "text_only"):
+            pass  # plain LM call
 
         elif cfg.neighbor_mode == "raw" and cfg.context in ("section_all",
                                                             "all"):
             # splice CLIP image embeddings into the reserved token positions
-            # (modelling_self_attention.py:248-261)
+            # (modelling_self_attention.py:248-261); padded positions index
+            # out of bounds and are dropped by JAX scatter semantics
             ids_safe = jnp.maximum(input_ids, 0)  # -1 placeholders
             inputs_embeds = self.lm.embed(ids_safe)
             visual = self.get_visual_embs(batch["images"])    # (B,N,vt,dim)
@@ -255,12 +265,11 @@ class MMGLModel(nn.Module):
                                       batch["neighbor_attention_mask"],
                                       batch.get("neighbor_pos_ids"))
             n = text.shape[1]
-            neighbor_embeds = text.reshape(b, n * cfg.n_text_tokens, -1)
+            soft = text.reshape(b, n * cfg.n_text_tokens, -1)
             nmask = (batch["neighbor_pos_ids"] > 0)
-            neighbor_mask = jnp.repeat(nmask, cfg.n_text_tokens, axis=1)
+            soft_mask = jnp.repeat(nmask, cfg.n_text_tokens, axis=1)
             inputs_embeds, attention_mask, labels = self._append_neighbors(
-                input_ids, attention_mask, labels, neighbor_embeds,
-                neighbor_mask)
+                input_ids, attention_mask, labels, soft, soft_mask)
 
         elif cfg.neighbor_mode == "embedding" and cfg.context in (
                 "section_all", "all"):
@@ -274,18 +283,70 @@ class MMGLModel(nn.Module):
                 flat = block.reshape(b, total, -1)
                 gnn_out = self.gnn(flat, batch["graph"])
                 block = (flat + gnn_out).reshape(block.shape)
-            neighbor_embeds = block.reshape(b, total * n_tok, -1)
-            neighbor_mask = block_mask.reshape(b, total * n_tok)
+            soft = block.reshape(b, total * n_tok, -1)
+            soft_mask = block_mask.reshape(b, total * n_tok)
             inputs_embeds, attention_mask, labels = self._append_neighbors(
-                input_ids, attention_mask, labels, neighbor_embeds,
-                neighbor_mask)
+                input_ids, attention_mask, labels, soft, soft_mask)
         else:
             raise ValueError(
                 f"neighbor_mode {cfg.neighbor_mode} with context "
                 f"{cfg.context} is not supported")
 
-        return self._lm_forward(input_ids, inputs_embeds, attention_mask,
-                                labels, deterministic)
+        # prompt tuning: virtual embeddings prepended
+        if cfg.peft_type == "prompt" and not cfg.uses_mpt_memory:
+            if inputs_embeds is None:
+                inputs_embeds = self.lm.embed(jnp.maximum(input_ids, 0))
+            virtual = self.prompt_tuning(b).astype(inputs_embeds.dtype)
+            inputs_embeds = jnp.concatenate([virtual, inputs_embeds], axis=1)
+            ones = jnp.ones((b, cfg.num_virtual_tokens), attention_mask.dtype)
+            attention_mask = jnp.concatenate([ones, attention_mask], axis=1)
+            if cfg.decoder_only and labels is not None:
+                pad = jnp.full((b, cfg.num_virtual_tokens), IGNORE_INDEX,
+                               labels.dtype)
+                labels = jnp.concatenate([pad, labels], axis=1)
+
+        prefix_kvs = None
+        if cfg.peft_type == "prefix":
+            prefix_kvs = self.prefix_tuning()
+
+        return {"input_ids": input_ids, "inputs_embeds": inputs_embeds,
+                "attention_mask": attention_mask, "labels": labels,
+                "neighbor_embeds": neighbor_embeds,
+                "neighbor_mask": neighbor_mask, "prefix_kvs": prefix_kvs}
+
+    # ------------------------------------------------------------------
+    # generation support (train/generate.py)
+    # ------------------------------------------------------------------
+
+    def prefill_inputs(self, batch: Dict[str, jax.Array]):
+        """(inputs_embeds, attention_mask, neighbor_embeds, neighbor_mask)
+        for a prompt-only batch (no labels)."""
+        fused = self._fuse(batch)
+        inputs_embeds = fused["inputs_embeds"]
+        if inputs_embeds is None:
+            inputs_embeds = self.lm.embed(jnp.maximum(fused["input_ids"], 0))
+        return (inputs_embeds, fused["attention_mask"],
+                fused["neighbor_embeds"], fused["neighbor_mask"])
+
+    def lm_decode(self, input_ids=None, inputs_embeds=None,
+                  attention_mask=None, neighbor_embeds=None,
+                  neighbor_mask=None, caches=None, position_ids=None):
+        """Direct decoder-only LM call with caches (generation steps)."""
+        return self.lm(input_ids=input_ids, inputs_embeds=inputs_embeds,
+                       attention_mask=attention_mask,
+                       neighbor_embeds=neighbor_embeds,
+                       neighbor_mask=neighbor_mask, caches=caches,
+                       position_ids=position_ids, deterministic=True)
+
+    def encode_t5(self, inputs_embeds=None, attention_mask=None):
+        return self.lm.encode(inputs_embeds=inputs_embeds,
+                              attention_mask=attention_mask)
+
+    def decode_t5(self, decoder_input_ids=None, encoder_states=None,
+                  attention_mask=None, caches=None, position_offset=0):
+        return self.lm.decode(decoder_input_ids, encoder_states,
+                              attention_mask=attention_mask, caches=caches,
+                              position_offset=position_offset)
 
     def _build_neighbor_block(self, batch):
         """Interleave text/image soft tokens by their page locations
@@ -338,27 +399,12 @@ class MMGLModel(nn.Module):
             labels = jnp.concatenate([labels, pad], axis=1)
         return inputs_embeds, attention_mask, labels
 
-    def _lm_forward(self, input_ids, inputs_embeds, attention_mask, labels,
-                    deterministic):
+    def _lm_forward(self, fused: Dict[str, Any], deterministic: bool):
         cfg = self.config
-
-        # prompt tuning: virtual embeddings prepended
-        if cfg.peft_type == "prompt":
-            if inputs_embeds is None:
-                inputs_embeds = self.lm.embed(jnp.maximum(input_ids, 0))
-            b = inputs_embeds.shape[0]
-            virtual = self.prompt_tuning(b).astype(inputs_embeds.dtype)
-            inputs_embeds = jnp.concatenate([virtual, inputs_embeds], axis=1)
-            ones = jnp.ones((b, cfg.num_virtual_tokens), attention_mask.dtype)
-            attention_mask = jnp.concatenate([ones, attention_mask], axis=1)
-            if cfg.decoder_only and labels is not None:
-                pad = jnp.full((b, cfg.num_virtual_tokens), IGNORE_INDEX,
-                               labels.dtype)
-                labels = jnp.concatenate([pad, labels], axis=1)
-
-        prefix_kvs = None
-        if cfg.peft_type == "prefix":
-            prefix_kvs = self.prefix_tuning()
+        input_ids = fused["input_ids"]
+        inputs_embeds = fused["inputs_embeds"]
+        attention_mask = fused["attention_mask"]
+        labels = fused["labels"]
 
         if cfg.lm_type == "t5":
             logits = self.lm(
@@ -370,5 +416,5 @@ class MMGLModel(nn.Module):
         logits, _ = self.lm(
             input_ids=None if inputs_embeds is not None else input_ids,
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            prefix_kvs=prefix_kvs, deterministic=deterministic)
+            prefix_kvs=fused["prefix_kvs"], deterministic=deterministic)
         return {"logits": logits, "labels": labels}

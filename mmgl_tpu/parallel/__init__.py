@@ -1,0 +1,2 @@
+from mmgl_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, param_shardings, batch_sharding, shard_params, shard_batch)

@@ -1,0 +1,101 @@
+"""Device mesh + sharding rules (DP/TP over ICI).
+
+Replaces the reference's single-node DDP/NCCL stack (mp.spawn +
+init_process_group + DistributedDataParallel, run_generation.py:265-319) with
+a jax.sharding.Mesh: the batch shards over the "data" axis, tensor-parallel
+params shard over the "model" axis, and XLA inserts the gradient psums /
+activation collectives that DDP and megatron-style layers do by hand.
+
+Rules are path-regex -> PartitionSpec, megatron-style:
+  qkv/fc1 kernels column-parallel (output dim on "model"),
+  out_proj/fc2 kernels row-parallel (input dim on "model"),
+  embeddings vocab-sharded, everything else replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec builder taking the model-axis name)
+_TP_RULES = [
+    # attention projections (LoRADense nests kernels under /dense/)
+    (r"(q_proj|k_proj|v_proj|query|key|value)(/dense)?/kernel$",
+     lambda m: P(None, m)),
+    (r"(q_proj|k_proj|v_proj|query|key|value)(/dense)?/bias$",
+     lambda m: P(m)),
+    (r"(out_proj|out|o)/kernel$", lambda m: P(m, None)),
+    # FFN
+    (r"(fc1|intermediate|wi|wi_0|wi_1|q|k|v)/kernel$", lambda m: P(None, m)),
+    (r"(fc1|intermediate|wi|wi_0|wi_1)/bias$", lambda m: P(m)),
+    (r"(fc2|output|wo)/kernel$", lambda m: P(m, None)),
+    # embeddings: vocab-sharded
+    (r"embed_tokens/embedding$", lambda m: P(m, None)),
+    (r"shared/embedding$", lambda m: P(m, None)),
+    (r"lm_head/kernel$", lambda m: P(None, m)),
+    # LoRA adapters: B column-parallel to match the base projection
+    (r"lora_a$", lambda m: P(None, None)),
+    (r"lora_b$", lambda m: P(None, m)),
+]
+
+
+def make_mesh(shape: Tuple[int, ...] = None,
+              axes: Tuple[str, ...] = ("data", "model")) -> Mesh:
+    devices = np.asarray(jax.devices())
+    if shape is None or int(np.prod(shape)) != devices.size:
+        shape = (devices.size, 1)
+    return Mesh(devices.reshape(shape), axes)
+
+
+def _spec_for(path: str, model_axis: str) -> P:
+    for pattern, builder in _TP_RULES:
+        if re.search(pattern, path):
+            return builder(model_axis)
+    return P()
+
+
+def param_shardings(params: Dict, mesh: Mesh,
+                    model_axis: str = "model") -> Dict:
+    """NamedSharding pytree for the param tree (TP when the axis has >1
+    devices, otherwise fully replicated)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    tp = mesh.shape.get(model_axis, 1) > 1
+    out = {}
+    for path, leaf in flat.items():
+        spec = _spec_for(path, model_axis) if tp else P()
+        # drop specs that don't divide the axis size evenly
+        if tp and any(s is not None for s in spec):
+            ok = True
+            for dim, axis_name in enumerate(spec):
+                if axis_name is None:
+                    continue
+                if dim >= leaf.ndim or leaf.shape[dim] % mesh.shape[axis_name]:
+                    ok = False
+            if not ok:
+                spec = P()
+        out[path] = NamedSharding(mesh, spec)
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for host batches (DistributedSampler parity)."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_params(params: Dict, mesh: Mesh) -> Dict:
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return {k: put(v) for k, v in batch.items()}

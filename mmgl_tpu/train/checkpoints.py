@@ -1,0 +1,56 @@
+"""Orbax checkpointing.
+
+Counterpart of the reference's torch.save/load flow
+(run_generation.py:336-350,400-416): save {epoch, best_acc1, params (minus
+frozen tower weights), opt_state} when val BLEU-4 improves; restore for
+resume and for the final test pass. Tower stripping mirrors the
+'.text_model'/'.visual_model' key filter (run_generation.py:402-405) — the
+towers are frozen and reloadable from their pretrained checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _strip_towers(params: Dict) -> Dict:
+    return {k: v for k, v in params.items()
+            if k not in ("text_model", "visual_model")}
+
+
+def save_checkpoint(path: str, state, epoch: int, best_acc1: float,
+                    keep_towers: bool = False):
+    path = os.path.abspath(path)
+    params = state.params if keep_towers else _strip_towers(state.params)
+    payload = {
+        "epoch": np.asarray(epoch),
+        "best_acc1": np.asarray(best_acc1, np.float32),
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(path)
+
+
+def merge_restored_params(current: Dict, restored: Dict) -> Dict:
+    """Overlay restored (tower-stripped) params onto the current tree."""
+    merged = dict(current)
+    for k, v in restored.items():
+        if k in ("text_model", "visual_model") and k not in current:
+            continue
+        merged[k] = v
+    return merged

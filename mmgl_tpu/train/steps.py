@@ -1,0 +1,119 @@
+"""Jitted train / eval steps.
+
+The reference's train_loop body (run_generation.py:462-494) — forward,
+summary-loss bookkeeping, loss/accum backward, optimizer step — becomes ONE
+compiled function: gradient accumulation is a jax.lax.scan over microbatches
+inside the step (the batch arrives as (accum, micro, ...)), the optimizer
+update applies once per call, and metric reductions are on-device scalars
+(cross-device reduction happens implicitly through sharded averaging under
+pjit — DDP allreduce and meter all_reduce both disappear into XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mmgl_tpu.train.losses import causal_lm_loss, seq2seq_loss, summary_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_loss_fn(model, decoder_only: bool, max_input_length: int,
+                 pad_token_id: int):
+    def loss_fn(params, batch, rng=None):
+        rngs = {"dropout": rng} if rng is not None else None
+        out = model.apply({"params": params}, batch,
+                          deterministic=rng is None, rngs=rngs)
+        logits, labels = out["logits"], out["labels"]
+        if decoder_only:
+            loss = causal_lm_loss(logits, labels)
+            # the logged "summary loss" metric (run_generation.py:470-481)
+            s_loss = summary_loss(logits, labels, max_input_length,
+                                  pad_token_id)
+        else:
+            loss = seq2seq_loss(logits, labels)
+            s_loss = loss
+        return loss, {"loss": loss, "summary_loss": s_loss}
+
+    return loss_fn
+
+
+def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
+                    pad_token_id: int,
+                    grad_accumulation_steps: int = 1) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    With accumulation > 1 the batch leaves must be shaped
+    (accum, micro_batch, ...); gradients average over microbatches via scan.
+    """
+    loss_fn = make_loss_fn(model, decoder_only, max_input_length, pad_token_id)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        if grad_accumulation_steps > 1:
+            def micro(carry, xs):
+                acc_grads, acc_metrics = carry
+                mb, mb_rng = xs
+                (_, metrics), grads = grad_fn(state.params, mb, mb_rng)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics,
+                                                     metrics)
+                return (acc_grads, acc_metrics), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_m = {"loss": jnp.zeros(()), "summary_loss": jnp.zeros(())}
+            rngs = jax.random.split(rng, grad_accumulation_steps)
+            (grads, metrics), _ = jax.lax.scan(
+                micro, (zeros, zero_m), (batch, rngs))
+            scale = 1.0 / grad_accumulation_steps
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m * scale, metrics)
+        else:
+            (_, metrics), grads = grad_fn(state.params, batch, rng)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, decoder_only: bool, max_input_length: int,
+                   pad_token_id: int) -> Callable:
+    """Teacher-forced eval: loss + argmax predictions over the label span
+    (run_generation.py:580-606 val path)."""
+
+    def step(params, batch) -> Dict:
+        out = model.apply({"params": params}, batch, deterministic=True)
+        logits, labels = out["logits"], out["labels"]
+        if decoder_only:
+            loss = causal_lm_loss(logits, labels)
+            s_loss = summary_loss(logits, labels, max_input_length,
+                                  pad_token_id)
+            span = logits[:, max_input_length:-1]
+        else:
+            loss = seq2seq_loss(logits, labels)
+            s_loss = loss
+            span = logits
+        preds = jnp.argmax(span, axis=-1)
+        return {"loss": loss, "summary_loss": s_loss, "predictions": preds}
+
+    return step

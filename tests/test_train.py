@@ -1,0 +1,143 @@
+"""Train/eval/generate integration on tiny configs (CPU, 8 fake devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgl_tpu.config import Arguments
+from mmgl_tpu.models.factory import build_model
+from mmgl_tpu.parallel import make_mesh, shard_batch, shard_params
+from mmgl_tpu.peft import trainable_mask
+from mmgl_tpu.train.generate import greedy_generate
+from mmgl_tpu.train.optim import build_optimizer, lr_schedule
+from mmgl_tpu.train.steps import (create_train_state, make_eval_step,
+                                  make_train_step)
+
+S_IN, S_OUT = 24, 8
+
+
+def _setup(peft="none", name="opt-tiny", accum=1):
+    args = Arguments(model_name_or_path=name, context="section_only",
+                     neighbor_mode="raw", peft_type=peft,
+                     max_input_length=S_IN, max_output_length=S_OUT,
+                     grad_accumulation_steps=accum, use_pallas=False,
+                     learning_rate=1e-3, lr_warmup_steps=2)
+    model, cfg = build_model(args, vocab_size=64)
+    t = S_IN + S_OUT if cfg.decoder_only else S_IN
+    rng = np.random.RandomState(0)
+    b = 2 * max(1, accum)
+    batch = {
+        "input_ids": rng.randint(4, 64, (b, t)).astype(np.int32),
+        "attention_mask": np.ones((b, t), np.int32),
+        "labels": rng.randint(4, 64, (b, t if cfg.decoder_only else S_OUT)
+                              ).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = trainable_mask(variables["params"], peft, args.freeze_lm)
+    tx = build_optimizer(args, mask)
+    state = create_train_state(dict(variables["params"]), tx)
+    return args, model, cfg, state, tx, batch, mask
+
+
+def test_train_step_reduces_loss():
+    args, model, cfg, state, tx, batch, _ = _setup()
+    step = jax.jit(make_train_step(model, tx, cfg.decoder_only, S_IN, 0))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum=2 over two microbatches == one batch of both (same gradients;
+    post-Adam params are NOT compared — sign normalization amplifies float
+    noise on near-zero grads)."""
+    from mmgl_tpu.train.steps import make_loss_fn
+
+    args, model, cfg, state, tx, batch, _ = _setup(accum=2)
+    loss_fn = make_loss_fn(model, cfg.decoder_only, S_IN, 0)
+    grad_fn = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))
+
+    micro = [{k: v[:2] for k, v in batch.items()},
+             {k: v[2:] for k, v in batch.items()}]
+    g_micro = [grad_fn(state.params, m) for m in micro]
+    g_acc = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *g_micro)
+    g_big = grad_fn(state.params, batch)
+
+    l1, l2 = jax.tree_util.tree_leaves(g_acc), jax.tree_util.tree_leaves(g_big)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_peft_masks_freeze_lm_params():
+    args, model, cfg, state, tx, batch, mask = _setup(peft="lora")
+    step = jax.jit(make_train_step(model, tx, cfg.decoder_only, S_IN, 0))
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = step(state, batch, jax.random.PRNGKey(3))
+    after = state.params
+    # frozen: a base kernel inside the LM must not move
+    b_k = before["lm"]["decoder"]["layers_0"]["self_attn"]["k_proj"]["kernel"]
+    a_k = after["lm"]["decoder"]["layers_0"]["self_attn"]["k_proj"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(b_k), np.asarray(a_k))
+    # trainable: lora_a must move
+    b_l = before["lm"]["decoder"]["layers_0"]["self_attn"]["q_proj"]["lora_a"]
+    a_l = after["lm"]["decoder"]["layers_0"]["self_attn"]["q_proj"]["lora_a"]
+    assert np.abs(np.asarray(b_l) - np.asarray(a_l)).max() > 0
+
+
+def test_eval_step_prediction_shapes():
+    args, model, cfg, state, tx, batch, _ = _setup()
+    eval_step = jax.jit(make_eval_step(model, cfg.decoder_only, S_IN, 0))
+    out = eval_step(state.params, batch)
+    assert out["predictions"].shape == (2, S_OUT - 1)  # span = T - S_IN - 1
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_generate_shapes_and_eos_padding():
+    args, model, cfg, state, tx, batch, _ = _setup()
+    toks = jax.jit(lambda v, b: greedy_generate(model, v, b,
+                                                max_new_tokens=6))(
+        {"params": state.params}, batch)
+    assert toks.shape == (2, 6)
+    assert toks.dtype == jnp.int32
+
+
+def test_t5_generate():
+    args, model, cfg, state, tx, batch, _ = _setup(name="t5-tiny")
+    toks = jax.jit(lambda v, b: greedy_generate(model, v, b,
+                                                max_new_tokens=5))(
+        {"params": state.params}, batch)
+    assert toks.shape == (2, 5)
+
+
+def test_lr_schedule_warmup_then_decay():
+    args = Arguments(learning_rate=1.0, lr_warmup_steps=10,
+                     lr_schedule_step_size=1, steps_per_epoch=20,
+                     grad_accumulation_steps=1, lr_schedule_gamma=0.5)
+    fn = lr_schedule(args)
+    assert float(fn(0)) == pytest.approx(0.1)
+    assert float(fn(9)) == pytest.approx(1.0)
+    assert float(fn(10)) == pytest.approx(1.0)
+    assert float(fn(30)) == pytest.approx(0.5)
+    assert float(fn(50)) == pytest.approx(0.25)
+
+
+def test_sharded_train_step_dp_tp():
+    """Full train step over a (4,2) dp x tp mesh of fake CPU devices."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    args, model, cfg, state, tx, batch, _ = _setup()
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in batch.items()}  # b=4
+    mesh = make_mesh((4, 2))
+    step = jax.jit(make_train_step(model, tx, cfg.decoder_only, S_IN, 0))
+    with mesh:
+        params = shard_params(dict(state.params), mesh)
+        state = create_train_state(params, tx)
+        sharded = shard_batch(batch, mesh)
+        state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
