@@ -56,7 +56,7 @@ def setup_data(args: Arguments, tokenizer):
     print(f"[data] no parquet under {args.data_dir}; using synthetic corpus")
     cfg.image_size = 32 if "tiny" in (args.model_name_or_path or "") else 224
     store, ids, provider = make_synthetic_corpus(
-        num_pages=32, image_size=cfg.image_size, seed=args.seed or 0)
+        num_pages=64, image_size=cfg.image_size, seed=args.seed or 0)
     n = len(ids)
     cut1, cut2 = int(n * 0.8), int(n * 0.9)
     mk = lambda idl: WikiWeb2MAssembler(cfg, store, idl, tokenizer, provider)
@@ -301,7 +301,10 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
             break
 
     if not all_preds:
-        return {"loss": losses.avg, "bleu4": 0.0}
+        raise RuntimeError(
+            f"{prefix} loader produced no batches — dataset smaller than the "
+            f"global batch (drop_last)? len={len(loader.dataset)} "
+            f"batch_size={loader.batch_size}")
 
     print("=" * 30)
     print(f"Computing BLEU with {len(all_preds)} generated captions and "

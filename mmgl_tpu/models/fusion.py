@@ -157,12 +157,14 @@ class MMGLModel(nn.Module):
             self.prompt_tuning = PromptTuning(cfg.num_virtual_tokens, dim, pdt)
         if cfg.peft_type == "prefix":
             if cfg.lm_type == "t5":
-                raise NotImplementedError(
-                    "prefix tuning on the T5 path lands with the enc-dec "
-                    "prefix cache; use prompt/lora for T5")
-            self.prefix_tuning = PrefixTuning(
-                cfg.opt.num_hidden_layers, cfg.num_virtual_tokens,
-                cfg.opt.num_attention_heads, cfg.opt.head_dim, pdt)
+                # decoder self-attention prefixes (enc-dec prefix tuning)
+                self.prefix_tuning = PrefixTuning(
+                    cfg.t5.num_decoder_layers, cfg.num_virtual_tokens,
+                    cfg.t5.num_heads, cfg.t5.d_kv, pdt)
+            else:
+                self.prefix_tuning = PrefixTuning(
+                    cfg.opt.num_hidden_layers, cfg.num_virtual_tokens,
+                    cfg.opt.num_attention_heads, cfg.opt.head_dim, pdt)
 
     # ------------------------------------------------------------------
     # tower encoders (modelling_self_attention.py:154-200)
@@ -410,7 +412,7 @@ class MMGLModel(nn.Module):
             logits = self.lm(
                 input_ids=None if inputs_embeds is not None else input_ids,
                 inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-                labels=labels)
+                labels=labels, prefix_kvs=fused["prefix_kvs"])
             return {"logits": logits, "labels": labels}
 
         logits, _ = self.lm(

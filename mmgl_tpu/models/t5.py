@@ -94,7 +94,8 @@ class T5Attention(nn.Module):
         self.o = nn.Dense(cfg.d_model, **dense)
 
     def __call__(self, hidden_states, kv_states=None, kv_mask=None,
-                 position_bias=None, cache: Optional[Cache] = None):
+                 position_bias=None, cache: Optional[Cache] = None,
+                 prefix_kv=None):
         cfg = self.config
         b, s, _ = hidden_states.shape
         h, d = cfg.num_heads, cfg.d_kv
@@ -124,6 +125,28 @@ class T5Attention(nn.Module):
                            else kv_mask.astype(bool) & valid)
                 causal = False
             # else: prefill — causal over the current segment (empty cache)
+
+        if prefix_kv is not None and kv_states is None:
+            # prefix tuning: learned K/V prepended; zero position bias and
+            # always-attendable mask for the virtual slots
+            pk, pv = prefix_kv  # (P, H, D)
+            p = pk.shape[0]
+            pk = jnp.broadcast_to(pk[None], (b,) + pk.shape).astype(k.dtype)
+            pv = jnp.broadcast_to(pv[None], (b,) + pv.shape).astype(v.dtype)
+            k = jnp.concatenate([pk, k], axis=1)
+            v = jnp.concatenate([pv, v], axis=1)
+            if kv_mask is not None:
+                ones = jnp.ones((b, p), kv_mask.dtype)
+                kv_mask = jnp.concatenate([ones, kv_mask], axis=1)
+            if position_bias is not None:
+                zeros = jnp.zeros(position_bias.shape[:3] + (p,),
+                                  position_bias.dtype)
+                position_bias = jnp.concatenate([zeros, position_bias],
+                                                axis=3)
+            if causal:
+                # causal mask in xla_attention aligns ends, so prefix slots
+                # (earliest keys) stay visible to every query
+                pass
 
         # T5 attention is UNscaled (scale folded into init)
         out = xla_attention(q, k, v, kv_mask=kv_mask, bias=position_bias,
@@ -173,10 +196,10 @@ class T5Block(nn.Module):
 
     def __call__(self, hidden_states, attention_mask=None, position_bias=None,
                  encoder_states=None, encoder_mask=None,
-                 cache: Optional[Cache] = None):
+                 cache: Optional[Cache] = None, prefix_kv=None):
         attn, new_cache = self.self_attn(
             self.self_attn_norm(hidden_states), kv_mask=attention_mask,
-            position_bias=position_bias, cache=cache)
+            position_bias=position_bias, cache=cache, prefix_kv=prefix_kv)
         hidden_states = hidden_states + attn
         if self.is_decoder and encoder_states is not None:
             attn, _ = self.cross_attn(self.cross_attn_norm(hidden_states),
@@ -204,7 +227,7 @@ class T5Stack(nn.Module):
     def __call__(self, inputs_embeds, attention_mask=None,
                  encoder_states=None, encoder_mask=None,
                  caches: Optional[List[Cache]] = None,
-                 position_offset: int = 0):
+                 position_offset: int = 0, prefix_kvs=None):
         cfg = self.config
         s = inputs_embeds.shape[1]
         # single-step decode attends the whole cache buffer; prefill (s>1)
@@ -221,7 +244,8 @@ class T5Stack(nn.Module):
         for i, layer in enumerate(self.layers):
             hidden_states, new_cache = layer(
                 hidden_states, attention_mask, bias, encoder_states,
-                encoder_mask, caches[i] if caches is not None else None)
+                encoder_mask, caches[i] if caches is not None else None,
+                prefix_kvs[i] if prefix_kvs is not None else None)
             new_caches.append(new_cache)
         out = self.final_layer_norm(hidden_states)
         return out, (new_caches if caches is not None else None)
@@ -267,12 +291,13 @@ class T5ForConditionalGeneration(nn.Module):
         return out
 
     def decode(self, decoder_input_ids, encoder_states, attention_mask=None,
-               decoder_mask=None, caches=None, position_offset: int = 0):
+               decoder_mask=None, caches=None, position_offset: int = 0,
+               prefix_kvs=None):
         cfg = self.config
         x = self.shared(decoder_input_ids)
         hidden, new_caches = self.decoder(
             x, decoder_mask, encoder_states, attention_mask, caches,
-            position_offset)
+            position_offset, prefix_kvs)
         if cfg.tie_word_embeddings:
             hidden = hidden * (cfg.d_model ** -0.5)
             logits = self.shared.attend(hidden)
@@ -282,14 +307,15 @@ class T5ForConditionalGeneration(nn.Module):
 
     def __call__(self, input_ids=None, attention_mask=None, labels=None,
                  decoder_input_ids=None, inputs_embeds=None,
-                 decoder_attention_mask=None):
+                 decoder_attention_mask=None, prefix_kvs=None):
         cfg = self.config
         enc = self.encode(input_ids, attention_mask, inputs_embeds)
         if decoder_input_ids is None:
             decoder_input_ids = shift_right(labels, cfg.decoder_start_token_id,
                                             cfg.pad_token_id)
         logits, _ = self.decode(decoder_input_ids, enc, attention_mask,
-                                decoder_mask=decoder_attention_mask)
+                                decoder_mask=decoder_attention_mask,
+                                prefix_kvs=prefix_kvs)
         return logits
 
     def embed(self, input_ids: jax.Array) -> jax.Array:

@@ -46,10 +46,19 @@ _TP_RULES = [
 
 def make_mesh(shape: Tuple[int, ...] = None,
               axes: Tuple[str, ...] = ("data", "model")) -> Mesh:
+    """Mesh over the local devices.
+
+    shape=None or the default (1,1) means "use everything as data-parallel";
+    an explicit non-default shape is honored exactly, taking the first
+    prod(shape) devices (so --mesh_shape 1,1 really runs single-device)."""
     devices = np.asarray(jax.devices())
-    if shape is None or int(np.prod(shape)) != devices.size:
+    if shape is None or tuple(shape) == (1, 1):
         shape = (devices.size, 1)
-    return Mesh(devices.reshape(shape), axes)
+    n = int(np.prod(shape))
+    if n > devices.size:
+        raise ValueError(f"mesh {shape} needs {n} devices, "
+                         f"have {devices.size}")
+    return Mesh(devices[:n].reshape(shape), axes)
 
 
 def _spec_for(path: str, model_axis: str) -> P:

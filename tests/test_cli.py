@@ -1,0 +1,69 @@
+"""End-to-end CLI smoke: tiny model, synthetic corpus, train + eval + test."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmgl_tpu.config import Arguments
+from mmgl_tpu.cli import run_training, first_period_truncate
+
+
+def test_first_period_truncate():
+    assert first_period_truncate("hello world. more") == "hello world"
+    assert first_period_truncate("a. b") == "a. b"  # idx <= 5: keep
+    assert first_period_truncate("no period") == "no period"
+
+
+def test_run_training_end_to_end(tmp_path):
+    args = Arguments(
+        model_name_or_path="opt-tiny", context="section_only",
+        neighbor_mode="raw", max_input_length=32, max_output_length=16,
+        per_device_train_batch_size=2, per_device_val_batch_size=2,
+        epochs=1, steps_per_epoch=2, val_steps_per_epoch=1,
+        grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+        lr_warmup_steps=2, log_dir=str(tmp_path), use_pallas=False, seed=0,
+        dataloader_num_workers=1, prefetch_batches=2)
+    results = run_training(args)
+    # final test pass produced the full metric set
+    for key in ("loss", "bleu1", "bleu4", "cider", "rouge1_fmeasure",
+                "rougeLsum_fmeasure"):
+        assert key in results, key
+        assert np.isfinite(results[key])
+    # best checkpoint was written
+    assert os.path.exists(os.path.join(tmp_path, "default_0", "ckpt"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from mmgl_tpu.models.factory import build_model
+    from mmgl_tpu.peft import trainable_mask
+    from mmgl_tpu.train import checkpoints
+    from mmgl_tpu.train.optim import build_optimizer
+    from mmgl_tpu.train.steps import create_train_state
+
+    args = Arguments(model_name_or_path="opt-tiny", max_input_length=16,
+                     max_output_length=8, use_pallas=False)
+    model, cfg = build_model(args, vocab_size=64)
+    batch = {"input_ids": np.ones((1, 24), np.int32),
+             "attention_mask": np.ones((1, 24), np.int32),
+             "labels": np.ones((1, 24), np.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = trainable_mask(variables["params"], "none", False)
+    tx = build_optimizer(args, mask)
+    state = create_train_state(dict(variables["params"]), tx)
+
+    path = str(tmp_path / "ckpt")
+    checkpoints.save_checkpoint(path, state, epoch=3, best_acc1=0.5)
+    restored = checkpoints.restore_checkpoint(path)
+    assert int(restored["epoch"]) == 3
+    assert float(restored["best_acc1"]) == pytest.approx(0.5)
+
+    merged = checkpoints.merge_restored_params(dict(state.params),
+                                               restored["params"])
+    a = state.params["lm"]["decoder"]["embed_tokens"]["embedding"]
+    b = merged["lm"]["decoder"]["embed_tokens"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert checkpoints.restore_checkpoint(str(tmp_path / "missing")) is None
