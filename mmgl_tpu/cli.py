@@ -142,6 +142,17 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                                  counts["non_trainable"]},
                                 allow_val_change=True)
 
+    if args.cache_neighbor_embeddings and (
+            args.neighbor_mode == "embedding"
+            or args.context in ("section_all", "all")):
+        from mmgl_tpu.data.neighbor_cache import CachedNeighborDataset
+
+        print("[neighbor-cache] precomputing frozen tower outputs ...")
+        variables_c = {"params": params}
+        train_ds = CachedNeighborDataset(train_ds, model, variables_c)
+        val_ds = CachedNeighborDataset(val_ds, model, variables_c)
+        test_ds = CachedNeighborDataset(test_ds, model, variables_c)
+
     tx = build_optimizer(args, mask)
     with mesh:
         params = shard_params(params, mesh)
@@ -214,6 +225,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         progress = ProgressMeter(updates_per_epoch, [batch_time, losses],
                                  prefix=f"Epoch: [{epoch}]")
         end = time.time()
+        if args.profile_dir and epoch == args.start_epoch:
+            jax.profiler.start_trace(args.profile_dir)
         it = iter(train_loader)
         for u in range(updates_per_epoch):
             try:
@@ -233,6 +246,9 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             batch_time.update(time.time() - end)
             end = time.time()
 
+            if (args.profile_dir and epoch == args.start_epoch
+                    and u == min(3, updates_per_epoch - 1)):
+                jax.profiler.stop_trace()
             actual_step = epoch * updates_per_epoch + u + 1
             if actual_step == 1 or actual_step % args.print_freq == 0:
                 ex_per_sec = (global_bs * accum) / max(batch_time.avg, 1e-9)

@@ -95,6 +95,9 @@ class Arguments:
     strict_compat: bool = False           # reproduce reference quirks (SURVEY §3.6) verbatim
     prefetch_batches: int = 10            # loader prefetch depth (DataLoader prefetch_factor=10)
     log_to_wandb: bool = False
+    profile_dir: Optional[str] = None     # jax.profiler trace output (TPU-native
+                                          # upgrade of the wall-clock meters,
+                                          # SURVEY §5 tracing)
 
     def __post_init__(self):
         if isinstance(self.mesh_shape, list):

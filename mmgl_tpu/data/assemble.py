@@ -114,14 +114,17 @@ class WikiWeb2MAssembler:
         return list(np.asarray(enc.input_ids[0]))
 
     def _zero_image(self) -> np.ndarray:
+        # uint8 placeholder; the device-side normalizer zeroes invalid slots
+        # back to the reference's normalized-space zeros (data.py:189)
         s = self.cfg.image_size
-        return np.zeros((3, s, s), np.float32)
+        return np.zeros((3, s, s), np.uint8)
 
     def get_raw_item(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         page_id, section_id = self.id_list[index]
         page = self.store.get(page_id)
         images: List[np.ndarray] = []
+        images_valid: List[int] = []
         image_positions: List[np.ndarray] = []
 
         if cfg.context == "section_only":
@@ -136,10 +139,12 @@ class WikiWeb2MAssembler:
                 inputs = "summarize: " + section_info
                 visual_ids = [self.tok.pad_token_id] * cfg.n_visual_tokens
                 images.append(self._zero_image())
+                images_valid.append(0)
             else:
                 inputs = "summarize: " + section_info + ", conext: " + caption
                 visual_ids = [-1] * cfg.n_visual_tokens
                 images.append(image)
+                images_valid.append(1)
             max_text = cfg.max_input_length - cfg.n_visual_tokens
             input_ids = self._encode(inputs, max_text)
             image_positions.append(len(input_ids)
@@ -164,10 +169,12 @@ class WikiWeb2MAssembler:
                 inputs = "summarize: " + section_info
                 visual_ids = [self.tok.pad_token_id] * cfg.n_visual_tokens
                 images.append(self._zero_image())
+                images_valid.append(0)
             else:
                 inputs = "summarize: " + section_info + ", conext: " + caption
                 visual_ids = [-1] * cfg.n_visual_tokens
                 images.append(image)
+                images_valid.append(1)
             max_text = cfg.max_input_length - cfg.n_visual_tokens
             input_ids = self._encode(inputs, max_text)
             image_positions.append(len(input_ids)
@@ -184,9 +191,11 @@ class WikiWeb2MAssembler:
                     context = context_info
                     visual_ids = [self.tok.pad_token_id] * cfg.n_visual_tokens
                     cimg = self._zero_image()
+                    cvalid = 0
                 else:
                     context = context_info + ccap
                     visual_ids = [-1] * cfg.n_visual_tokens
+                    cvalid = 1
                 context_ids = self._encode(context, truncation=False)
                 if (len(input_ids) + len(context_ids) + len(visual_ids)
                         > cfg.max_input_length):
@@ -194,6 +203,7 @@ class WikiWeb2MAssembler:
                 if len(images) >= 1 + cfg.max_image_neighbors:
                     break  # fixed-shape budget (TPU-shaped divergence)
                 images.append(cimg)
+                images_valid.append(cvalid)
                 image_positions.append(len(input_ids) + len(context_ids)
                                        + np.arange(cfg.n_visual_tokens))
                 input_ids = input_ids + context_ids + visual_ids
@@ -210,10 +220,12 @@ class WikiWeb2MAssembler:
                 1 + cfg.max_image_neighbors)
             while len(images) < max_images:
                 images.append(self._zero_image())
+                images_valid.append(0)
                 # sacrificial slot: scattered then dropped by the model
                 image_positions.append(
                     np.full((cfg.n_visual_tokens,), total_len, np.int64))
-            result["images"] = np.stack(images).astype(np.float32)
+            result["images"] = np.stack(images)
+            result["images_valid"] = np.asarray(images_valid, np.int32)
             result["image_positions"] = np.concatenate(
                 image_positions).astype(np.int32)
         return result
@@ -372,7 +384,7 @@ class WikiWeb2MAssembler:
         result["neighbor_attention_mask"] = ntok.attention_mask.astype(np.int32)
         result["neighbor_pos_ids"] = np.asarray(position_texts, np.int32)
         result["text_locations"] = np.asarray(location_texts, np.int32)
-        result["neighbor_images"] = np.stack(neighbor_images).astype(np.float32)
+        result["neighbor_images"] = np.stack(neighbor_images)
         result["neighbor_images_pos_ids"] = np.asarray(position_images,
                                                        np.int32)
         result["image_locations"] = np.asarray(location_images, np.int32)

@@ -14,12 +14,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-
-
 def clip_preprocess(img, image_size: int = 224) -> np.ndarray:
-    """PIL image -> (3, S, S) float32, CLIP normalization."""
+    """PIL image -> (3, S, S) uint8: resize shortest side + center crop.
+
+    Scaling and CLIP mean/std normalization run ON DEVICE
+    (models/clip.py normalize_pixels) so images travel host->device as uint8
+    — 4x less transfer than normalized f32, which profiling showed dominates
+    the raw-image training step on the tunneled chip."""
     from PIL import Image
 
     img = img.convert("RGB")
@@ -32,9 +33,7 @@ def clip_preprocess(img, image_size: int = 224) -> np.ndarray:
     left = (w - image_size) // 2
     top = (h - image_size) // 2
     img = img.crop((left, top, left + image_size, top + image_size))
-    arr = np.asarray(img, np.float32) / 255.0         # (S, S, 3)
-    arr = (arr - CLIP_MEAN) / CLIP_STD
-    return arr.transpose(2, 0, 1)
+    return np.asarray(img, np.uint8).transpose(2, 0, 1)
 
 
 def disk_image_provider(data_dir: str, visual_model: str = "",

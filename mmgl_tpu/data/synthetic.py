@@ -41,8 +41,8 @@ def make_synthetic_corpus(num_pages: int = 8, max_sections: int = 5,
             if rng.uniform() < image_prob:
                 urls.append([f"http://img/{pid}_{sid}.jpg"])
                 caps.append([_sentence(rng, 5)])
-                image_table[(pid, sid)] = rng.randn(
-                    3, image_size, image_size).astype(np.float32)
+                image_table[(pid, sid)] = rng.randint(
+                    0, 256, (3, image_size, image_size)).astype(np.uint8)
             else:
                 urls.append([""])
                 caps.append([""])

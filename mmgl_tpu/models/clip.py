@@ -24,6 +24,33 @@ from mmgl_tpu.models.layers import ACT2FN
 from mmgl_tpu.ops import multi_head_attention
 
 
+# CLIP preprocessing constants (the AutoFeatureExtractor values the reference
+# uses via utils.py:15-23); normalization happens on device so images travel
+# host->device as uint8 (4x less PCIe/ICI traffic than normalized f32)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize_pixels(pixel_values: jax.Array, valid: Optional[jax.Array] = None,
+                     dtype=jnp.float32) -> jax.Array:
+    """uint8 (…,3,H,W) -> CLIP-normalized floats; float input passes through.
+
+    `valid` (leading-dims bool) zeroes invalid slots so placeholder images
+    match the reference's zeros(3,224,224) in normalized space
+    (wikiweb2m/data.py:189)."""
+    if jnp.issubdtype(pixel_values.dtype, jnp.integer):
+        x = pixel_values.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(3, 1, 1)
+        std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
+        x = (x - mean) / std
+    else:
+        x = pixel_values.astype(jnp.float32)
+    if valid is not None:
+        shape = valid.shape + (1,) * (x.ndim - valid.ndim)
+        x = x * valid.reshape(shape).astype(x.dtype)
+    return x.astype(dtype)
+
+
 @dataclass(frozen=True)
 class CLIPVisionConfig:
     hidden_size: int = 768

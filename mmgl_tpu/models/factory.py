@@ -108,19 +108,24 @@ def build_fusion_config(args: Arguments,
         if vocab_size:
             opt_cfg = replace(opt_cfg, vocab_size=vocab_size)
 
-    text_cfg = None
+    dt = _dtype(args.compute_dtype if args.bf16 else "float32")
+    pdt = _dtype(args.param_dtype)
+    tower_kw = dict(dtype=dt, param_dtype=pdt,
+                    use_pallas=args.use_pallas or None)
     if "clip" in args.text_model:
-        text_cfg = CLIPTextConfig() if not tiny else CLIPTextConfig(
+        text_cfg = CLIPTextConfig(**tower_kw) if not tiny else CLIPTextConfig(
             hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
-            intermediate_size=64, vocab_size=vocab_size or 49408)
+            intermediate_size=64, vocab_size=vocab_size or 49408, **tower_kw)
     else:
-        text_cfg = RobertaConfig() if not tiny else RobertaConfig(
+        text_cfg = RobertaConfig(**tower_kw) if not tiny else RobertaConfig(
             hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
-            intermediate_size=64, vocab_size=vocab_size or 50265)
+            intermediate_size=64, vocab_size=vocab_size or 50265, **tower_kw)
 
-    vision_cfg = CLIPVisionConfig() if not tiny else CLIPVisionConfig(
-        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
-        intermediate_size=64, image_size=32, patch_size=8)
+    vision_cfg = (CLIPVisionConfig(**tower_kw) if not tiny
+                  else CLIPVisionConfig(
+                      hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      image_size=32, patch_size=8, **tower_kw))
 
     return FusionConfig(
         lm_type=lm_type, context=args.context,

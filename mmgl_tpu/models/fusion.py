@@ -170,33 +170,73 @@ class MMGLModel(nn.Module):
     # tower encoders (modelling_self_attention.py:154-200)
     # ------------------------------------------------------------------
 
-    def get_text_embs(self, input_ids, attention_mask, pos_ids=None):
-        """(B, N, S) neighbor texts -> (B, N, n_text_tokens, dim)."""
+    def pool_text(self, input_ids, attention_mask):
+        """Frozen text tower: (B*N, S) -> (B*N, tower_hidden) pooled."""
         cfg = self.config
-        b, n, s = input_ids.shape
-        flat_ids = input_ids.reshape(b * n, s)
-        flat_mask = attention_mask.reshape(b * n, s)
         if "clip" in cfg.text_model_name:
-            _, pooled = self.text_model(flat_ids, flat_mask)
+            _, pooled = self.text_model(input_ids, attention_mask)
         else:
-            hidden = self.text_model(flat_ids, flat_mask)
+            hidden = self.text_model(input_ids, attention_mask)
             pooled = self.text_pooler(hidden)
-        pooled = jax.lax.stop_gradient(pooled)        # frozen tower
+        return jax.lax.stop_gradient(pooled)
+
+    def pool_images(self, pixel_values, valid=None):
+        """Frozen vision tower: (B*N, 3, H, W) -> (B*N, tower_hidden).
+
+        uint8 inputs are CLIP-normalized on device; `valid` zeroes placeholder
+        slots to the reference's zeros-image convention."""
+        from mmgl_tpu.models.clip import normalize_pixels
+
+        pixels = normalize_pixels(pixel_values, valid,
+                                  dtype=self.config.vision.dtype)
+        _, pooled = self.visual_model(pixels)
+        return jax.lax.stop_gradient(pooled)
+
+    def project_text(self, pooled, pos_ids=None):
+        """Trainable head over (possibly cached) pooled text features."""
+        cfg = self.config
         embs = self.text_embeddings(pooled)           # (B*N, n_tok*dim)
         if pos_ids is not None and hasattr(self, "text_position_embeddings"):
             embs = embs + self.text_position_embeddings(pos_ids.reshape(-1))
-        return embs.reshape(b, n, cfg.n_text_tokens, -1)
+        return embs
 
-    def get_visual_embs(self, pixel_values, pos_ids=None):
-        """(B, N, 3, H, W) neighbor images -> (B, N, n_visual_tokens, dim)."""
-        cfg = self.config
-        b, n = pixel_values.shape[:2]
-        flat = pixel_values.reshape((b * n,) + pixel_values.shape[2:])
-        _, pooled = self.visual_model(flat)
-        pooled = jax.lax.stop_gradient(pooled)        # frozen tower
+    def project_images(self, pooled, pos_ids=None):
         embs = self.visual_embeddings(pooled)
         if pos_ids is not None and hasattr(self, "visual_position_embeddings"):
             embs = embs + self.visual_position_embeddings(pos_ids.reshape(-1))
+        return embs
+
+    def get_text_embs(self, input_ids, attention_mask, pos_ids=None,
+                      pooled=None):
+        """(B, N, S) neighbor texts -> (B, N, n_text_tokens, dim).
+
+        `pooled` (B, N, tower_hidden) skips the frozen tower — the
+        neighbor-embedding cache path (data/neighbor_cache.py); the reference
+        re-encodes every step (SURVEY §3.2 hot loop 3)."""
+        cfg = self.config
+        b, n = input_ids.shape[:2] if pooled is None else pooled.shape[:2]
+        if pooled is None:
+            s = input_ids.shape[2]
+            pooled = self.pool_text(input_ids.reshape(b * n, s),
+                                    attention_mask.reshape(b * n, s))
+        else:
+            pooled = pooled.reshape(b * n, -1)
+        embs = self.project_text(pooled, pos_ids)
+        return embs.reshape(b, n, cfg.n_text_tokens, -1)
+
+    def get_visual_embs(self, pixel_values, pos_ids=None, pooled=None,
+                        valid=None):
+        """(B, N, 3, H, W) neighbor images -> (B, N, n_visual_tokens, dim)."""
+        cfg = self.config
+        b, n = (pixel_values.shape[:2] if pooled is None
+                else pooled.shape[:2])
+        if pooled is None:
+            flat = pixel_values.reshape((b * n,) + pixel_values.shape[2:])
+            flat_valid = valid.reshape(b * n) if valid is not None else None
+            pooled = self.pool_images(flat, flat_valid)
+        else:
+            pooled = pooled.reshape(b * n, -1)
+        embs = self.project_images(pooled, pos_ids)
         return embs.reshape(b, n, cfg.n_visual_tokens, -1)
 
     # ------------------------------------------------------------------
@@ -250,7 +290,10 @@ class MMGLModel(nn.Module):
             # out of bounds and are dropped by JAX scatter semantics
             ids_safe = jnp.maximum(input_ids, 0)  # -1 placeholders
             inputs_embeds = self.lm.embed(ids_safe)
-            visual = self.get_visual_embs(batch["images"])    # (B,N,vt,dim)
+            visual = self.get_visual_embs(
+                batch["images"] if "images" in batch else None,
+                pooled=batch.get("images_pooled"),
+                valid=batch.get("images_valid"))
             visual = visual.reshape(b, -1, visual.shape[-1])
             positions = batch["image_positions"]              # (B, N*vt)
             batch_idx = jnp.arange(b)[:, None]
@@ -263,9 +306,10 @@ class MMGLModel(nn.Module):
                 "section_only", "text_only"):
             # text neighbors appended as soft tokens
             # (modelling_self_attention.py:263-280)
-            text = self.get_text_embs(batch["neighbor_input_ids"],
-                                      batch["neighbor_attention_mask"],
-                                      batch.get("neighbor_pos_ids"))
+            text = self.get_text_embs(batch.get("neighbor_input_ids"),
+                                      batch.get("neighbor_attention_mask"),
+                                      batch.get("neighbor_pos_ids"),
+                                      pooled=batch.get("neighbor_text_pooled"))
             n = text.shape[1]
             soft = text.reshape(b, n * cfg.n_text_tokens, -1)
             nmask = (batch["neighbor_pos_ids"] > 0)
@@ -355,16 +399,21 @@ class MMGLModel(nn.Module):
         (modelling_self_attention.py:282-308). Returns
         (B, total, n_tok, dim), (B, total, n_tok)."""
         cfg = self.config
-        text = self.get_text_embs(batch["neighbor_input_ids"],
-                                  batch["neighbor_attention_mask"],
-                                  batch.get("neighbor_pos_ids"))
+        text = self.get_text_embs(batch.get("neighbor_input_ids"),
+                                  batch.get("neighbor_attention_mask"),
+                                  batch.get("neighbor_pos_ids"),
+                                  pooled=batch.get("neighbor_text_pooled"))
         b, tn, n_tok, dim = text.shape
         tmask = (batch["neighbor_pos_ids"] > 0)[..., None]
         tmask = jnp.broadcast_to(tmask, (b, tn, cfg.n_text_tokens))
 
         if cfg.needs_vision_tower:
-            visual = self.get_visual_embs(batch["neighbor_images"],
-                                          batch.get("neighbor_images_pos_ids"))
+            visual = self.get_visual_embs(
+                batch.get("neighbor_images"),
+                batch.get("neighbor_images_pos_ids"),
+                pooled=batch.get("neighbor_image_pooled"),
+                valid=(batch["neighbor_images_pos_ids"] > 0)
+                if "neighbor_images_pos_ids" in batch else None)
             vn = visual.shape[1]
             vmask = (batch["neighbor_images_pos_ids"] > 0)[..., None]
             vmask = jnp.broadcast_to(vmask, (b, vn, cfg.n_visual_tokens))

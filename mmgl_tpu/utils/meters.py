@@ -80,16 +80,54 @@ class ProgressMeter:
         print(" ".join(entries))
 
 
-def get_params_count(params) -> tuple:
-    """(per-leaf table, trainable, non-trainable) given a pytree of arrays.
-
-    Counterpart of utils.get_params_count (language_modelling/utils.py:26-30);
-    trainability is decided by the PEFT mask, so this takes (params, mask).
-    """
+def get_params_count(params, mask=None) -> tuple:
+    """(per-leaf table, trainable, non-trainable) given a param pytree and an
+    optional trainability mask. Counterpart of utils.get_params_count
+    (language_modelling/utils.py:26-30)."""
     import jax
 
     leaves = jax.tree_util.tree_leaves_with_path(params)
-    table = [(jax.tree_util.keystr(path), leaf.size, tuple(leaf.shape))
-             for path, leaf in leaves]
-    total = sum(x[1] for x in table)
-    return table, total
+    mleaves = (jax.tree_util.tree_leaves(mask) if mask is not None
+               else [True] * len(leaves))
+    table = [(jax.tree_util.keystr(path), leaf.size, tuple(leaf.shape), bool(m))
+             for (path, leaf), m in zip(leaves, mleaves)]
+    trainable = sum(x[1] for x in table if x[3])
+    non_trainable = sum(x[1] for x in table if not x[3])
+    return table, trainable, non_trainable
+
+
+def get_params_count_str(params, mask=None, max_name_len: int = 72) -> str:
+    """Formatted parameter table (utils.get_params_count_str, utils.py:33-46)."""
+    table, trainable, non_trainable = get_params_count(params, mask)
+    pad = 40
+    out = ["=" * (max_name_len + pad),
+           f"| {'Module':<{max_name_len}} | {'Trainable':<9} "
+           f"| {'Shape':>16} | {'Count':>12} |",
+           "-" * (max_name_len + pad)]
+    for name, count, shape, is_train in table:
+        out.append(f"| {name[:max_name_len]:<{max_name_len}} "
+                   f"| {str(is_train):<9} | {str(shape):>16} | {count:>12,} |")
+    out.append("-" * (max_name_len + pad))
+    out.append(f"| {'Total trainable params':<{max_name_len}} |           "
+               f"|                  | {trainable:>12,} |")
+    out.append(f"| {'Total non-trainable params':<{max_name_len}} |           "
+               f"|                  | {non_trainable:>12,} |")
+    out.append("=" * (max_name_len + pad))
+    return "\n".join(out)
+
+
+def postprocess_text(preds, labels):
+    """Strip + sentence-per-line (rougeLsum convention) — counterpart of
+    utils.postprocess_text (language_modelling/utils.py:55-63); uses nltk
+    when available, falling back to period splitting."""
+    def split(text):
+        text = text.strip()
+        try:
+            import nltk
+
+            return "\n".join(nltk.sent_tokenize(text))
+        except Exception:
+            parts = [p.strip() for p in text.split(". ") if p.strip()]
+            return "\n".join(parts)
+
+    return [split(p) for p in preds], [split(l) for l in labels]
