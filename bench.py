@@ -1,33 +1,88 @@
 """Throughput benchmark — prints ONE JSON line.
 
-Metric: train sections/sec/chip on the reference's launch configuration
-family (script/train_generation.sh: OPT, task=section, context=all,
-neighbor_mode=raw — text + per-section CLIP image context). Measured on the
-real attached TPU with a jitted train step (bf16 compute, Pallas fused
-attention) in the framework's production data flow:
+Metric: train sections/sec/chip for the BASELINE.json config-1 model family
+(OPT-125M decoder-only, task=section, context=all, neighbor_mode=raw — text +
+per-section CLIP image context, 512+128 tokens), measured on the attached TPU
+with a jitted train step (bf16 compute, Pallas fused attention).
 
-  * images travel host->device as uint8, CLIP-normalized on device
-  * frozen-tower outputs are cached (--cache_neighbor_embeddings): the step
-    consumes pooled CLIP features (identical math — the towers are frozen and
-    the reference recomputes them every step, SURVEY §3.2 hot loop 3)
+Both production variants are measured and reported:
+  * cached   — frozen-tower outputs precomputed (--cache_neighbor_embeddings):
+               the step consumes pooled CLIP features. Identical math: the
+               towers are frozen; the reference recomputes them every step
+               (SURVEY §3.2 hot loop 3) purely by omission.
+  * uncached — the reference-shaped step: every image re-encoded by the CLIP
+               vision tower every step (apples-to-apples comparison).
 
-`--variant uncached` measures the reference-shaped step that re-encodes every
-image every step (still uint8 transfer).
+Timing methodology (VERDICT r1 weak #1): on this platform dispatch is fully
+asynchronous and `jax.block_until_ready` can return before execution, so we
+materialize the step's loss ON HOST (`float(m["loss"])` — a real device->host
+transfer) to drain the pipeline, and use a two-point difference method:
+time N1 steps + fetch, then N2 steps + fetch; step_time = (T2-T1)/(N2-N1).
+The constant drain/RPC overhead cancels. Each variant reports step_time_ms,
+model TFLOPs/step (6*N*T per-param matmul FLOPs incl. the tied lm_head, plus
+12*L*T^2*d attention, plus frozen-tower forward FLOPs for uncached), and
+implied MFU against the chip's bf16 peak. The bench HARD-FAILS if implied
+MFU > 60% — a number above that is async-dispatch noise, not a measurement.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor is
-a documented engineering estimate of the reference stack's per-GPU throughput
-for OPT-125M at this config on an A100-80GB (fp32, per SURVEY Q6 the --fp16
-flag casts to fp32): ~20 sections/sec/chip. Replace with a measured number
-when a GPU baseline run exists.
+a roofline estimate of the reference stack, computed inline with the
+arithmetic shown in the JSON (`a100_arithmetic`): A100 fp32 peak 19.5 TFLOP/s
+(the reference trains fp32 — its --fp16 flag casts to fp32, SURVEY Q6, and it
+never enables TF32), at a generous 40% MFU, ignoring its data stalls and
+per-step frozen-tower re-encodes. Both generosities favor the reference.
+
+`--kernel` mode instead compares the Pallas fused attention against the XLA
+einsum path (fwd+bwd) at MMGL's two production shapes — causal self-attention
+(640 q, 640 kv) and neighbor cross-attention (640 q, 64 kv) — and reports
+which wins (VERDICT r1 item 8).
 """
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
-A100_REFERENCE_SECTIONS_PER_SEC = 20.0  # documented estimate, see docstring
+# bf16 peak TFLOP/s per chip by device_kind (public specs).
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # trillium
+    "TPU v6e": 918.0,
+}
+
+A100_FP32_PEAK = 19.5e12   # non-TF32 fp32, torch default (ref never sets TF32)
+A100_ASSUMED_MFU = 0.40    # generous for an unfused HF fp32 DDP stack
+
+
+def tree_size(tree) -> int:
+    import jax
+
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def lm_flops_per_section(n_params: int, seq: int, n_layers: int,
+                         d_model: int) -> float:
+    """fwd+bwd matmul FLOPs for one 640-token section through the LM.
+
+    6*N*T counts every parameter matmul fwd+bwd once; with tied embeddings N
+    includes the embedding matrix exactly once, which accounts for the lm_head
+    projection (the input-side gather is free). 12*L*T^2*d adds the QK^T / PV
+    attention matmuls (4*T^2*d fwd per layer, x3 for bwd).
+    """
+    return 6.0 * n_params * seq + 12.0 * n_layers * seq * seq * d_model
+
+
+def vision_flops_per_image(n_params: int, n_patches: int, n_layers: int,
+                           d_model: int) -> float:
+    """Forward-only FLOPs for one image through the frozen CLIP tower."""
+    return (2.0 * n_params * n_patches
+            + 4.0 * n_layers * n_patches * n_patches * d_model)
 
 
 def build(variant: str, quick: bool, batch: int):
@@ -78,45 +133,210 @@ def build(variant: str, quick: bool, batch: int):
     mask = trainable_mask(variables["params"], margs.peft_type,
                           margs.freeze_lm)
     tx = build_optimizer(margs, mask)
-    state = create_train_state(dict(variables["params"]), tx)
+    params = dict(variables["params"])
+
+    # FLOPs model from the ACTUAL parameter tree
+    lm_cfg = cfg.opt
+    n_lm = tree_size(params["lm"])
+    flops_section = lm_flops_per_section(
+        n_lm, t, lm_cfg.num_hidden_layers, lm_cfg.hidden_size)
+    if variant == "uncached" and "visual_model" in params:
+        n_v = tree_size(params["visual_model"])
+        n_patches = (image_size // cfg.vision.patch_size) ** 2 + 1
+        flops_section += n_img * vision_flops_per_image(
+            n_v, n_patches, cfg.vision.num_hidden_layers,
+            cfg.vision.hidden_size)
+
+    state = create_train_state(params, tx)
     step = jax.jit(make_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
         pad_token_id=1, grad_accumulation_steps=1), donate_argnums=(0,))
-    return step, state, batch_np, b
+    return step, state, batch_np, b, flops_section
+
+
+def measure_variant(variant: str, quick: bool, batch: int, n1: int, n2: int):
+    import jax
+
+    step, state, batch_np, b, flops_section = build(variant, quick, batch)
+    key = jax.random.PRNGKey(1)
+
+    # warmup: compile + one real execution, drained via host materialization
+    state, m = step(state, batch_np, key)
+    warm_loss = float(m["loss"])            # device->host: forces execution
+    assert np.isfinite(warm_loss), f"non-finite warmup loss {warm_loss}"
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        mlast = None
+        for _ in range(n):
+            state, mlast = step(state, batch_np, key)
+        loss = float(mlast["loss"])          # pipeline drain ON HOST
+        gn = float(mlast["grad_norm"])
+        return time.perf_counter() - t0, loss, gn
+
+    t_a, _, _ = run(n1)
+    t_b, loss, grad_norm = run(n2)
+    assert np.isfinite(loss) and np.isfinite(grad_norm), (loss, grad_norm)
+    step_time = (t_b - t_a) / (n2 - n1)
+    if step_time <= 0:                       # timing noise: fall back
+        step_time = t_b / n2
+
+    flops_step = flops_section * b
+    sections_per_sec = b / step_time
+    return {
+        "variant": variant,
+        "sections_per_sec_per_chip": round(
+            sections_per_sec / jax.device_count(), 3),
+        "step_time_ms": round(step_time * 1e3, 3),
+        "model_tflops_per_step": round(flops_step / 1e12, 4),
+        "achieved_tflops": round(flops_step / step_time / 1e12, 2),
+        "batch": b,
+        "loss": round(loss, 4),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + short timing loop (CI smoke)")
-    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--variant", choices=("cached", "uncached"),
-                    default="cached")
+    ap.add_argument("--n1", type=int, default=5)
+    ap.add_argument("--n2", type=int, default=25)
+    ap.add_argument("--kernel", action="store_true",
+                    help="compare Pallas fused attention vs XLA instead")
     args = ap.parse_args()
 
     import jax
 
-    step, state, batch, b = build(args.variant, args.quick, args.batch)
-    key = jax.random.PRNGKey(1)
-    state, m = step(state, batch, key)  # compile
-    jax.block_until_ready(m["loss"])
+    if args.kernel:
+        bench_kernel(args)
+        return
 
-    steps = args.steps if not args.quick else 3
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, batch, key)  # host batch each step, like training
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / steps
+    on_tpu = jax.default_backend() == "tpu"
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(kind, 197.0) * 1e12 if on_tpu else None
 
-    n_chips = jax.device_count()
-    sections_per_sec_per_chip = b / dt / n_chips
+    n1, n2 = (args.n1, args.n2) if not args.quick else (2, 5)
+    results = {}
+    for variant in ("cached", "uncached"):
+        print(f"[bench] measuring variant={variant} ...", file=sys.stderr)
+        r = measure_variant(variant, args.quick, args.batch, n1, n2)
+        if peak is not None:
+            mfu = (r["model_tflops_per_step"] * 1e12
+                   / (r["step_time_ms"] / 1e3) / peak)
+            r["implied_mfu"] = round(mfu, 4)
+            if mfu > 0.60:
+                print(json.dumps({
+                    "metric": "train_sections_per_sec_per_chip",
+                    "value": None, "unit": "sections/s/chip",
+                    "vs_baseline": None,
+                    "error": f"implied MFU {mfu:.2f} > 0.60 for "
+                             f"variant={variant} — async-dispatch noise, "
+                             f"measurement rejected"}))
+                sys.exit(1)
+        results[variant] = r
+
+    # reference-stack roofline (documented arithmetic, favors the reference).
+    # The reference's model FLOPs per section == our cached variant's (same
+    # LM, same tokens); its tower re-encodes are extra work we ignore.
+    ref_flops_section = (results["cached"]["model_tflops_per_step"] * 1e12
+                         / results["cached"]["batch"])
+    a100_est = A100_FP32_PEAK * A100_ASSUMED_MFU / ref_flops_section
+    arithmetic = (
+        f"A100 fp32 peak {A100_FP32_PEAK/1e12:.1f}e12 x assumed MFU "
+        f"{A100_ASSUMED_MFU} / ref FLOPs-per-section "
+        f"{ref_flops_section:.3e} (6*N*T + 12*L*T^2*d, same LM same tokens) "
+        f"= {a100_est:.2f} sections/s/chip; ignores the reference's data "
+        f"stalls and per-step frozen-tower re-encode (both favor it)")
+
+    headline = results["cached"]
     print(json.dumps({
         "metric": "train_sections_per_sec_per_chip",
-        "value": round(sections_per_sec_per_chip, 3),
+        "value": headline["sections_per_sec_per_chip"],
         "unit": "sections/s/chip",
         "vs_baseline": round(
-            sections_per_sec_per_chip / A100_REFERENCE_SECTIONS_PER_SEC, 3),
+            headline["sections_per_sec_per_chip"] / a100_est, 3),
+        "extra": {
+            "cached": results["cached"],
+            "uncached": results["uncached"],
+            "uncached_vs_baseline": round(
+                results["uncached"]["sections_per_sec_per_chip"] / a100_est,
+                3),
+            "device_kind": kind,
+            "peak_tflops": (peak / 1e12 if peak else None),
+            "a100_reference_estimate_sections_per_sec": round(a100_est, 2),
+            "a100_arithmetic": arithmetic,
+            "timing": f"two-point difference (N1={n1}, N2={n2}), loss "
+                      f"materialized on host each point",
+        },
+    }))
+
+
+def bench_kernel(args):
+    """Pallas fused attention vs XLA einsum, fwd+bwd, MMGL shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmgl_tpu.ops.attention import xla_attention
+    from mmgl_tpu.ops.flash_attention import flash_attention
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    b, h, d = (32, 12, 64) if not args.quick else (2, 2, 16)
+    n1, n2 = (args.n1, args.n2) if not args.quick else (2, 4)
+    shapes = {
+        "causal_self_640": dict(sq=640, sk=640, causal=True),
+        "cross_640_to_64": dict(sq=640, sk=64, causal=False),
+    }
+    out = {}
+    for name, sh in shapes.items():
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, sh["sq"], h, d), dtype)
+        k = jax.random.normal(kk, (b, sh["sk"], h, d), dtype)
+        v = jax.random.normal(kv, (b, sh["sk"], h, d), dtype)
+        mask = jnp.ones((b, sh["sk"]), jnp.int32)
+
+        def make_loss(fn):
+            def loss(q, k, v):
+                o = fn(q, k, v, kv_mask=mask, causal=sh["causal"])
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+
+        res = {}
+        for impl, fn in (("pallas", flash_attention), ("xla", xla_attention)):
+            if impl == "pallas" and not on_tpu:
+                continue
+            step = make_loss(fn)
+            val, grads = step(q, k, v)
+            float(val)  # compile + drain
+
+            def run(n):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    val, grads = step(q, k, v)
+                float(val)
+                return time.perf_counter() - t0
+
+            t_a, t_b = run(n1), run(n2)
+            dt = (t_b - t_a) / (n2 - n1)
+            if dt <= 0:
+                dt = t_b / n2
+            res[impl] = round(dt * 1e6, 2)  # us per fwd+bwd
+        if "pallas" in res:
+            res["speedup_pallas_over_xla"] = round(
+                res["xla"] / res["pallas"], 3)
+        out[name] = res
+
+    print(json.dumps({
+        "metric": "attention_fwd_bwd_us",
+        "value": out.get("causal_self_640", {}).get(
+            "pallas", out["causal_self_640"].get("xla")),
+        "unit": "us",
+        "vs_baseline": out.get("causal_self_640", {}).get(
+            "speedup_pallas_over_xla", 1.0),
+        "extra": out,
     }))
 
 

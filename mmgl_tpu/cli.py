@@ -74,7 +74,24 @@ def main(argv=None):
     run_training(args)
 
 
+def _honor_platform_env():
+    """Re-assert JAX_PLATFORMS via jax.config.
+
+    The axon sitecustomize registers the TPU backend before user code runs,
+    which latches the platform list past the env var; backends are still
+    lazy, so jax.config.update here (before any device use) restores
+    `JAX_PLATFORMS=cpu ... python -m mmgl_tpu.cli` semantics.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized (e.g. under pytest conftest)
+
+
 def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
+    _honor_platform_env()
     if args.seed is not None:
         np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed or 0)
@@ -162,7 +179,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     best_acc1 = 0.0
     if args.resume:
         ckpt_path = os.path.join(args.log_dir, args.resume, "ckpt")
-        restored = checkpoints.restore_checkpoint(ckpt_path)
+        restored = checkpoints.restore_checkpoint(ckpt_path, state=state)
         if restored is not None:
             print(f"=> loaded checkpoint '{ckpt_path}' "
                   f"(epoch {restored['epoch']})")
@@ -271,7 +288,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----
-    restored = checkpoints.restore_checkpoint(args.save_dir)
+    restored = checkpoints.restore_checkpoint(args.save_dir, state=state)
     if restored is not None:
         state = state.replace(params=checkpoints.merge_restored_params(
             dict(state.params), restored["params"]))

@@ -91,9 +91,14 @@ class Arguments:
     remat: bool = False                   # activation checkpointing (jax.checkpoint)
     use_pallas: bool = True               # fused attention kernels on TPU
     cache_neighbor_embeddings: bool = False  # precompute frozen-tower outputs
+    neighbor_cache_dir: Optional[str] = None  # persist tower outputs to disk
+                                          # (None -> in-memory only)
     tokenizer_path: Optional[str] = None  # local HF tokenizer dir; None -> byte tokenizer
-    strict_compat: bool = False           # reproduce reference quirks (SURVEY §3.6) verbatim
     prefetch_batches: int = 10            # loader prefetch depth (DataLoader prefetch_factor=10)
+    distributed: bool = False             # multi-host: jax.distributed.initialize()
+    coordinator_address: Optional[str] = None  # host:port of process 0 (multi-host)
+    num_processes: Optional[int] = None   # world size for jax.distributed
+    process_id: Optional[int] = None      # this host's rank for jax.distributed
     log_to_wandb: bool = False
     profile_dir: Optional[str] = None     # jax.profiler trace output (TPU-native
                                           # upgrade of the wall-clock meters,
@@ -104,18 +109,11 @@ class Arguments:
             self.mesh_shape = tuple(self.mesh_shape)
         if isinstance(self.mesh_axes, list):
             self.mesh_axes = tuple(self.mesh_axes)
-
-    @property
-    def neighbor_layer_wise(self) -> int:
-        """Insert one cross-attn layer after every k-th self-attn layer.
-
-        The reference reads `args.neighbor_layer_wise` (modelling_cross_attention.py:92)
-        but only defines `num_neighbor_layers` (run_generation.py:215-217) — Q2 in
-        SURVEY §3.6. We implement the intended semantics: with L self-attn layers
-        and `num_neighbor_layers` cross-attn layers, interleave every
-        L // num_neighbor_layers layers.
-        """
-        return max(1, self.num_neighbor_layers)
+        if self.fp16 and not self.bf16:
+            # SURVEY Q6: the reference's --fp16 casts to fp32
+            # (run_generation.py:304-305); we reproduce that documented
+            # behavior — fp16 trains fp32 unless bf16 is also requested.
+            self.compute_dtype = "float32"
 
 
 _BOOL_FIELDS = {

@@ -88,6 +88,19 @@ def build_fusion_config(args: Arguments,
     name = args.model_name_or_path or "opt-tiny"
     tiny = "tiny" in name
 
+    if (args.neighbor_mode in ("embedding", "cross_attention")
+            and args.n_text_tokens != args.n_visual_tokens):
+        # The interleaved neighbor block (fusion.py _build_neighbor_block)
+        # scatters text and image soft tokens into one fixed-stride
+        # (N, n_tokens, d) grid, mirroring the reference's shared layout
+        # (modelling_self_attention.py:296-308) — per-modality token counts
+        # would need ragged strides, which the reference never exercises
+        # (both default to 4, run_generation.py:193-198).
+        raise ValueError(
+            f"n_text_tokens ({args.n_text_tokens}) must equal "
+            f"n_visual_tokens ({args.n_visual_tokens}) in "
+            f"neighbor_mode={args.neighbor_mode!r}")
+
     if "t5" in name:
         lm_type, decoder_only = "t5", False
     elif "mpt" in name:

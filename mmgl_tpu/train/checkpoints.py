@@ -38,12 +38,32 @@ def save_checkpoint(path: str, state, epoch: int, best_acc1: float,
     ckptr.save(path, payload, force=True)
 
 
-def restore_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+def restore_checkpoint(path: str, state=None,
+                       keep_towers: bool = False) -> Optional[Dict[str, Any]]:
+    """Restore a checkpoint, optionally re-typed against a live TrainState.
+
+    Without `state`, orbax returns an untyped pytree (plain dicts/lists) —
+    fine for reading scalars or params, but `opt_state` loses its optax
+    container types (ScaleByAdamState, multi_transform inner states) and
+    cannot be fed back into `tx.update`. Passing the current TrainState
+    builds a typed template so every leaf restores into the exact structure
+    the optimizer expects (reference resume: run_generation.py:336-350).
+    """
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(path)
+    if state is None:
+        return ckptr.restore(path)
+    params = state.params if keep_towers else _strip_towers(state.params)
+    template = {
+        "epoch": np.asarray(0),
+        "best_acc1": np.asarray(0.0, np.float32),
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    return ckptr.restore(path, item=template)
 
 
 def merge_restored_params(current: Dict, restored: Dict) -> Dict:
