@@ -288,6 +288,8 @@ def bench_kernel(args):
     shapes = {
         "causal_self_640": dict(sq=640, sk=640, causal=True),
         "cross_640_to_64": dict(sq=640, sk=64, causal=False),
+        "self_197_vision": dict(sq=197, sk=197, causal=False),
+        "self_512_text": dict(sq=512, sk=512, causal=False),
     }
     out = {}
     for name, sh in shapes.items():

@@ -22,6 +22,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from mmgl_tpu.config import Arguments, parse_args
 from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
@@ -29,7 +30,8 @@ from mmgl_tpu.data.loader import PrefetchLoader
 from mmgl_tpu.data.synthetic import make_synthetic_corpus
 from mmgl_tpu.metrics import Cider, bleu_score, rouge_score
 from mmgl_tpu.models.factory import build_model, maybe_import_pretrained
-from mmgl_tpu.parallel import make_mesh, shard_batch, shard_params
+from mmgl_tpu.parallel import (gather_tokens, init_distributed, make_mesh,
+                               shard_batch, shard_params)
 from mmgl_tpu.peft import count_params, trainable_mask
 from mmgl_tpu.train import checkpoints
 from mmgl_tpu.train.generate import greedy_generate
@@ -92,6 +94,13 @@ def _honor_platform_env():
 
 def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     _honor_platform_env()
+    if args.distributed:
+        # multi-host (DCN): replaces mp.spawn + dist.init_process_group
+        # (run_generation.py:265-283)
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
+    is_main = jax.process_index() == 0
+    n_procs = jax.process_count()
     if args.seed is not None:
         np.random.seed(args.seed)
     rng = jax.random.PRNGKey(args.seed or 0)
@@ -102,12 +111,13 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     while os.path.exists(log_dir):
         i += 1
         log_dir = os.path.join(args.log_dir, f"{args.wandb_run}_{i}")
-    os.makedirs(log_dir, exist_ok=True)
+    if is_main:
+        os.makedirs(log_dir, exist_ok=True)
     if args.save_dir is None:
         args.save_dir = os.path.join(log_dir, "ckpt")
 
     wandb_run = None
-    if args.log_to_wandb:
+    if args.log_to_wandb and is_main:
         try:
             import wandb
 
@@ -129,7 +139,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     name = args.model_name_or_path or "opt-tiny"
     args.decoder_only = "t5" not in name
     args.cross_attention = "mpt" in name
-    model, fcfg = build_model(args, vocab_size=tokenizer.vocab_size)
+    model, fcfg = build_model(args, vocab_size=tokenizer.vocab_size,
+                              tokenizer=tokenizer)
 
     train_ds, val_ds, test_ds = setup_data(args, tokenizer)
     print(f"Training with {len(train_ds)} examples, validating with "
@@ -137,12 +148,18 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
     mesh = make_mesh(args.mesh_shape, args.mesh_axes)
     n_data = mesh.shape.get("data", 1)
+    # loaders produce this host's shard of the global batch; with one
+    # process the shard IS the global batch (DistributedSampler parity,
+    # run_generation.py:366-368)
     global_bs = args.per_device_train_batch_size * n_data
     val_bs = args.per_device_val_batch_size * n_data
+    local_bs = global_bs // n_procs
+    local_val_bs = val_bs // n_procs
+    shard_kw = dict(shard_id=jax.process_index(), num_shards=n_procs)
 
     # init params on a sample batch
-    sample_loader = PrefetchLoader(train_ds, batch_size=global_bs,
-                                   prefetch=1, num_workers=1)
+    sample_loader = PrefetchLoader(train_ds, batch_size=local_bs,
+                                   prefetch=1, num_workers=1, **shard_kw)
     sample_batch = next(iter(sample_loader))
     variables = model.init(rng, sample_batch)
     params = maybe_import_pretrained(dict(variables["params"]), args)
@@ -166,9 +183,13 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
         print("[neighbor-cache] precomputing frozen tower outputs ...")
         variables_c = {"params": params}
-        train_ds = CachedNeighborDataset(train_ds, model, variables_c)
-        val_ds = CachedNeighborDataset(val_ds, model, variables_c)
-        test_ds = CachedNeighborDataset(test_ds, model, variables_c)
+        cache_dir = args.neighbor_cache_dir
+        mk_cache = lambda ds, split: CachedNeighborDataset(
+            ds, model, variables_c, cache_dir=cache_dir, split=split,
+            num_workers=args.dataloader_num_workers)
+        train_ds = mk_cache(train_ds, "train")
+        val_ds = mk_cache(val_ds, "val")
+        test_ds = mk_cache(test_ds, "test")
 
     tx = build_optimizer(args, mask)
     with mesh:
@@ -204,20 +225,22 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                                   max_new_tokens=32))
 
     train_loader = PrefetchLoader(
-        train_ds, batch_size=global_bs * accum, shuffle=True,
+        train_ds, batch_size=local_bs * accum, shuffle=True,
         seed=args.seed or 0, prefetch=args.prefetch_batches,
-        num_workers=args.dataloader_num_workers)
-    val_loader = PrefetchLoader(val_ds, batch_size=val_bs,
+        num_workers=args.dataloader_num_workers, **shard_kw)
+    val_loader = PrefetchLoader(val_ds, batch_size=local_val_bs,
                                 prefetch=args.prefetch_batches,
-                                num_workers=args.dataloader_num_workers)
-    test_loader = PrefetchLoader(test_ds, batch_size=val_bs,
+                                num_workers=args.dataloader_num_workers,
+                                **shard_kw)
+    test_loader = PrefetchLoader(test_ds, batch_size=local_val_bs,
                                  prefetch=args.prefetch_batches,
-                                 num_workers=args.dataloader_num_workers)
+                                 num_workers=args.dataloader_num_workers,
+                                 **shard_kw)
 
     def reshape_accum(batch):
         if accum == 1:
             return batch
-        return {k: v.reshape((accum, global_bs) + v.shape[1:])
+        return {k: v.reshape((accum, local_bs) + v.shape[1:])
                 for k, v in batch.items()}
 
     if args.test:
@@ -255,7 +278,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             data_time.update(time.time() - end)
             rng, step_rng = jax.random.split(rng)
             with mesh:
-                sharded = shard_batch(reshape_accum(batch), mesh)
+                spec = P(None, "data") if accum > 1 else None
+                sharded = shard_batch(reshape_accum(batch), mesh, spec=spec)
                 state, metrics = train_step(state, sharded, step_rng)
             loss_val = float(metrics["summary_loss" if fcfg.decoder_only
                                      else "loss"])
@@ -283,8 +307,9 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         acc1 = results["bleu4"]
         if acc1 > best_acc1 or epoch == 0:
             best_acc1 = max(acc1, best_acc1)
-            print("=> save best val model ...", args.save_dir)
-            checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
+            if is_main:  # rank-0-only save (run_generation.py:397-416)
+                print("=> save best val model ...", args.save_dir)
+                checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----
@@ -305,10 +330,15 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
                   prefix: str = "val") -> Dict[str, float]:
     """Counterpart of run_generation.py:527-703."""
     losses = AverageMeter("Loss", ":.4e")
+    # forward wall-clock, the reference's total_secs_captioning
+    # (run_generation.py:509-512); loss fetch inside the window forces
+    # real execution (async dispatch)
+    forward_time = AverageMeter("Forward", ":6.3f")
     all_preds, all_refs = [], []
     steps = 0
     variables = {"params": state.params}
     for batch in loader:
+        fwd_start = time.time()
         with mesh:
             sharded = shard_batch(batch, mesh)
             out = eval_step(state.params, sharded)
@@ -317,11 +347,15 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
             else:
                 generated = out["predictions"]
         losses.update(float(out["loss"]), batch["input_ids"].shape[0])
+        forward_time.update(time.time() - fwd_start)
 
         if fcfg.decoder_only:
             labels = batch["labels"][:, args.max_input_length + 1:]
         else:
             labels = batch["labels"]
+        # cross-host gather of ids before decode (run_generation.py:608-617)
+        generated = gather_tokens(generated)
+        labels = gather_tokens(labels)
         preds = tokenizer.batch_decode(np.asarray(generated),
                                        skip_special_tokens=True)
         labels = np.where(labels == -100, tokenizer.pad_token_id, labels)
@@ -360,6 +394,7 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
     actual_step = max(0, (epoch + 1) * args.steps_per_epoch
                       // args.grad_accumulation_steps)
     log({f"{prefix}/loss": losses.avg,
+         "metrics/total_secs_captioning": forward_time.avg,
          f"{prefix}/bleu1": bleus[0], f"{prefix}/bleu2": bleus[1],
          f"{prefix}/bleu3": bleus[2], f"{prefix}/bleu4": bleus[3],
          f"{prefix}/rouge1": rouges["rouge1_fmeasure"],

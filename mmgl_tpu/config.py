@@ -71,6 +71,7 @@ class Arguments:
     n_visual_tokens: int = 4
     freeze_lm: bool = False
     neighbor_mode: str = "raw"  # raw | embedding | cross_attention
+    layerdrop: float = 0.0      # decoder layerdrop (cross_attention.py:581-584)
     max_text_neighbors: int = 11
     max_image_neighbors: int = 5
     position_type: str = "none"  # none | embedding | laplacian | gnn

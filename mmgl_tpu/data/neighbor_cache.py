@@ -1,4 +1,4 @@
-"""Neighbor-embedding cache: precompute frozen-tower outputs once.
+"""Neighbor-embedding cache: precompute frozen-tower outputs once, persist.
 
 The reference re-encodes every neighbor text through Roberta (11 x 512
 tokens) and every neighbor image through CLIP-ViT (5 x 224^2) on EVERY
@@ -6,10 +6,16 @@ training step (SURVEY §3.2 hot loop 3) even though the towers are frozen.
 Fine-tuning runs 50 epochs over the same data (train_generation.sh:22) — the
 tower outputs never change.
 
-This cache runs the towers exactly once per dataset pass on the TPU and
-stores the pooled features host-side ((N, tower_hidden) arrays — a few KB per
-sample). `CachedNeighborDataset` swaps raw neighbor ids/pixels in each sample
-for `neighbor_text_pooled` / `neighbor_image_pooled`, which the fusion model
+This cache runs the towers exactly once per dataset on the TPU and stores the
+pooled features host-side ((N, tower_hidden) arrays — a few KB per sample).
+With `cache_dir` set, the arrays spill to an .npz keyed by a fingerprint of
+(split, dataset ids, tower configs, tower weights), so a restart with a warm
+cache does ZERO tower work. Host-side sample assembly for the build pass runs
+through the threaded PrefetchLoader so tokenization/image decode overlaps the
+device pooling (the v1 python loop serialized them).
+
+`CachedNeighborDataset` swaps raw neighbor ids/pixels in each sample for
+`neighbor_text_pooled` / `neighbor_image_pooled`, which the fusion model
 consumes directly (models/fusion.py get_text_embs(pooled=...)). The trainable
 projection + position embeddings still run on device every step, so gradients
 and PEFT semantics are unchanged.
@@ -17,6 +23,9 @@ and PEFT semantics are unchanged.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from typing import Dict, Optional
 
 import jax
@@ -29,7 +38,9 @@ class CachedNeighborDataset:
     """Wraps an assembler; serves samples with cached pooled tower outputs."""
 
     def __init__(self, dataset, model: MMGLModel, variables,
-                 batch_size: int = 16, verbose: bool = True):
+                 batch_size: int = 16, verbose: bool = True,
+                 cache_dir: Optional[str] = None, split: str = "train",
+                 num_workers: int = 4):
         self.dataset = dataset
         cfg = model.config
         self._needs_text = cfg.needs_text_tower
@@ -37,26 +48,97 @@ class CachedNeighborDataset:
         self._text_cache: Optional[np.ndarray] = None
         self._image_cache: Optional[np.ndarray] = None
         self._raw_image_cache: Optional[np.ndarray] = None
-        self._build(model, variables, batch_size, verbose)
+
+        path = None
+        if cache_dir:
+            key = self._fingerprint(model, variables, split)
+            path = os.path.join(cache_dir, f"neighbor_cache_{key}.npz")
+            if os.path.exists(path):
+                if verbose:
+                    print(f"[neighbor-cache] warm: {path}")
+                self._load(path)
+                return
+        self._build(model, variables, batch_size, verbose, num_workers)
+        if path is not None:
+            self._save(path)
+            if verbose:
+                print(f"[neighbor-cache] saved: {path}")
 
     def __len__(self):
         return len(self.dataset)
 
-    def _build(self, model, variables, batch_size, verbose):
+    # ---- persistence -----------------------------------------------------
+
+    def _fingerprint(self, model, variables, split: str) -> str:
+        """Key the cache by everything the pooled outputs depend on."""
+        h = hashlib.sha1()
+        h.update(split.encode())
+        h.update(str(len(self.dataset)).encode())
+        ids = getattr(self.dataset, "id_list", None)
+        if ids is not None:
+            h.update(repr(list(ids)[:64]).encode())
+            h.update(repr(list(ids)[-64:]).encode())
+        cfg = model.config
+        h.update(repr(cfg.text).encode())
+        h.update(repr(cfg.vision).encode())
+        # tower WEIGHTS matter (pretrained vs random init): checksum a leaf
+        params = variables.get("params", variables)
+        for tower in ("text_model", "visual_model"):
+            if tower in params:
+                leaf = jax.tree_util.tree_leaves(params[tower])[0]
+                h.update(np.asarray(
+                    np.sum(np.asarray(leaf, np.float64))).tobytes())
+        return h.hexdigest()[:16]
+
+    def _save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {}
+        if self._text_cache is not None:
+            payload["text"] = self._text_cache
+        if self._image_cache is not None:
+            payload["image"] = self._image_cache
+        if self._raw_image_cache is not None:
+            payload["raw_image"] = self._raw_image_cache
+        # atomic write: partial files must never be picked up as warm caches
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def _load(self, path: str):
+        with np.load(path) as z:
+            self._text_cache = z["text"] if "text" in z else None
+            self._image_cache = z["image"] if "image" in z else None
+            self._raw_image_cache = z["raw_image"] if "raw_image" in z \
+                else None
+
+    # ---- build -----------------------------------------------------------
+
+    def _build(self, model, variables, batch_size, verbose, num_workers):
+        from mmgl_tpu.data.loader import PrefetchLoader
+
         n = len(self.dataset)
         pool_text = jax.jit(lambda v, ids, mask: model.apply(
             v, ids, mask, method=MMGLModel.pool_text))
         pool_img = jax.jit(lambda v, px, valid: model.apply(
             v, px, valid, method=MMGLModel.pool_images))
 
-        for start in range(0, n, batch_size):
-            idx = range(start, min(start + batch_size, n))
-            samples = [self.dataset[i] for i in idx]
-            if self._needs_text and "neighbor_input_ids" in samples[0]:
-                ids = np.stack([s["neighbor_input_ids"] for s in samples])
-                mask = np.stack([s["neighbor_attention_mask"]
-                                 for s in samples])
-                b, nn_, s_ = ids.shape
+        loader = PrefetchLoader(self.dataset, batch_size=batch_size,
+                                shuffle=False, drop_last=False,
+                                prefetch=4, num_workers=num_workers)
+        start = 0
+        for batch in loader:
+            b = batch[next(iter(batch))].shape[0]
+            if self._needs_text and "neighbor_input_ids" in batch:
+                ids = batch["neighbor_input_ids"]
+                mask = batch["neighbor_attention_mask"]
+                _, nn_, s_ = ids.shape
                 pooled = np.asarray(pool_text(
                     variables, ids.reshape(b * nn_, s_),
                     mask.reshape(b * nn_, s_))).reshape(b, nn_, -1)
@@ -64,11 +146,10 @@ class CachedNeighborDataset:
                     self._text_cache = np.zeros(
                         (n, nn_, pooled.shape[-1]), np.float32)
                 self._text_cache[start : start + b] = pooled
-            if self._needs_vision and "neighbor_images" in samples[0]:
-                px = np.stack([s["neighbor_images"] for s in samples])
-                vld = np.stack([s["neighbor_images_pos_ids"] > 0
-                                for s in samples])
-                b, nv = px.shape[:2]
+            if self._needs_vision and "neighbor_images" in batch:
+                px = batch["neighbor_images"]
+                vld = batch["neighbor_images_pos_ids"] > 0
+                nv = px.shape[1]
                 pooled = np.asarray(pool_img(
                     variables, px.reshape((b * nv,) + px.shape[2:]),
                     vld.reshape(b * nv))).reshape(b, nv, -1)
@@ -76,12 +157,12 @@ class CachedNeighborDataset:
                     self._image_cache = np.zeros(
                         (n, nv, pooled.shape[-1]), np.float32)
                 self._image_cache[start : start + b] = pooled
-            if self._needs_vision and "images" in samples[0]:
+            if self._needs_vision and "images" in batch:
                 # raw mode: cache pooled CLIP features of the spliced images
-                px = np.stack([s["images"] for s in samples])
-                b, nv = px.shape[:2]
-                vld = np.stack([s.get("images_valid", np.ones(nv, np.int32))
-                                for s in samples])
+                px = batch["images"]
+                nv = px.shape[1]
+                vld = batch.get("images_valid",
+                                np.ones((b, nv), np.int32))
                 pooled = np.asarray(pool_img(
                     variables, px.reshape((b * nv,) + px.shape[2:]),
                     vld.reshape(b * nv))).reshape(b, nv, -1)
@@ -89,8 +170,9 @@ class CachedNeighborDataset:
                     self._raw_image_cache = np.zeros(
                         (n, nv, pooled.shape[-1]), np.float32)
                 self._raw_image_cache[start : start + b] = pooled
-            if verbose and start % (batch_size * 16) == 0:
+            if verbose and (start // batch_size) % 16 == 0:
                 print(f"[neighbor-cache] {start}/{n}")
+            start += b
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         sample = dict(self.dataset[index])

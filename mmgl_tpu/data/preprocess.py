@@ -91,7 +91,11 @@ class DataParser:
     @staticmethod
     def _sparse_to_list(sparse, tf):
         dense = tf.sparse.to_dense(sparse).numpy()
-        return list(dense)
+        if dense.ndim == 2:
+            # sequence VarLen parses as (steps, max_values); the reference
+            # flattens before materializing (preprocess_data.py:27-29)
+            dense = dense.reshape(-1)
+        return dense.tolist()
 
     # ---- splits (preprocess_data.py:147-181) ----
 

@@ -55,6 +55,7 @@ def _opt_config(args: Arguments, size: str, cross: bool) -> OPTConfig:
         num_attention_heads=heads, ffn_dim=ffn, word_embed_proj_dim=proj,
         do_layer_norm_before=(size != "350m"),
         dropout=0.0 if size == "tiny" else 0.1, attention_dropout=0.0,
+        layerdrop=args.layerdrop,
         cross_attention=cross,
         neighbor_layer_wise=max(1, layers // max(1, args.num_neighbor_layers)),
         peft_type=args.peft_type, lora_r=args.lora_r,
@@ -84,7 +85,8 @@ def _size_of(name: str, table) -> str:
 
 
 def build_fusion_config(args: Arguments,
-                        vocab_size: Optional[int] = None) -> FusionConfig:
+                        vocab_size: Optional[int] = None,
+                        tokenizer=None) -> FusionConfig:
     name = args.model_name_or_path or "opt-tiny"
     tiny = "tiny" in name
 
@@ -115,11 +117,24 @@ def build_fusion_config(args: Arguments,
         t5_cfg = _t5_config(args, _size_of(name, _T5_SIZES))
         if vocab_size:
             t5_cfg = replace(t5_cfg, vocab_size=vocab_size)
+        if tokenizer is not None:
+            # model token ids must track the ACTIVE tokenizer — the HF-T5
+            # defaults (eos=1) collide with e.g. the byte tokenizer's bos=1
+            # and make generation finish on the first token
+            t5_cfg = replace(
+                t5_cfg, pad_token_id=tokenizer.pad_token_id,
+                eos_token_id=tokenizer.eos_token_id,
+                decoder_start_token_id=tokenizer.pad_token_id)
     else:
         opt_cfg = _opt_config(args, _size_of(name, _OPT_SIZES),
                               cross=(lm_type == "mpt"))
         if vocab_size:
             opt_cfg = replace(opt_cfg, vocab_size=vocab_size)
+        if tokenizer is not None:
+            opt_cfg = replace(
+                opt_cfg, pad_token_id=tokenizer.pad_token_id,
+                eos_token_id=tokenizer.eos_token_id,
+                bos_token_id=tokenizer.bos_token_id or opt_cfg.bos_token_id)
 
     dt = _dtype(args.compute_dtype if args.bf16 else "float32")
     pdt = _dtype(args.param_dtype)
@@ -155,10 +170,9 @@ def build_fusion_config(args: Arguments,
     )
 
 
-def build_model(args: Arguments,
-                vocab_size: Optional[int] = None) -> Tuple[MMGLModel,
-                                                           FusionConfig]:
-    cfg = build_fusion_config(args, vocab_size)
+def build_model(args: Arguments, vocab_size: Optional[int] = None,
+                tokenizer=None) -> Tuple[MMGLModel, FusionConfig]:
+    cfg = build_fusion_config(args, vocab_size, tokenizer=tokenizer)
     return MMGLModel(cfg), cfg
 
 

@@ -48,6 +48,8 @@ class OPTConfig:
     activation_function: str = "relu"
     dropout: float = 0.1
     attention_dropout: float = 0.0
+    layerdrop: float = 0.0      # per-layer skip prob at train time
+                                # (modelling_cross_attention.py:581-584)
     init_std: float = 0.02
     enable_bias: bool = True
     layer_norm_elementwise_affine: bool = True
@@ -289,7 +291,8 @@ class OPTDecoder(nn.Module):
 
         layer_cls = OPTDecoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(OPTDecoderLayer, static_argnums=(-1,))
+            # deterministic (positional arg 6 of __call__) must stay static
+            layer_cls = nn.remat(OPTDecoderLayer, static_argnums=(7,))
         self.layers = [layer_cls(cfg, name=f"layers_{i}")
                        for i in range(cfg.num_hidden_layers)]
         if cfg.cross_attention:
@@ -328,9 +331,19 @@ class OPTDecoder(nn.Module):
         hidden_states = self.embed_dropout(hidden_states,
                                            deterministic=deterministic)
 
+        # layerdrop (modelling_cross_attention.py:581-584): at train time
+        # each decoder layer (and its interleaved cross layer — the
+        # reference's `continue` skips both) is bypassed with prob
+        # cfg.layerdrop. Branchless under jit: compute, then select.
+        drop_rngs = None
+        if not deterministic and cfg.layerdrop > 0.0:
+            drop_rngs = jax.random.split(self.make_rng("dropout"),
+                                         len(self.layers))
+
         new_caches: List[Optional[Cache]] = []
         n_cross = 0
         for idx, layer in enumerate(self.layers):
+            residual_states = hidden_states
             hidden_states, new_cache = layer(
                 hidden_states, attention_mask, None, None,
                 caches[idx] if caches is not None else None,
@@ -344,6 +357,11 @@ class OPTDecoder(nn.Module):
                     hidden_states, attention_mask, neighbor_embeds,
                     neighbor_mask, None, None, deterministic)
                 n_cross += 1
+            if drop_rngs is not None:
+                keep = jax.random.bernoulli(drop_rngs[idx],
+                                            1.0 - cfg.layerdrop)
+                hidden_states = jnp.where(keep, hidden_states,
+                                          residual_states)
 
         if self.final_layer_norm is not None:
             hidden_states = self.final_layer_norm(hidden_states)

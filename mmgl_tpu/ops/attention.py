@@ -68,6 +68,11 @@ def multi_head_attention(
         and dropout_rate == 0.0
         and q.shape[-1] <= 256
         and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
+        # measured (bench.py --kernel, v5e): Pallas wins causal 640x640
+        # (1.9x) and 512x512 text (1.86x) but LOSES 640->64 neighbor cross
+        # (0.15x) and 197x197 vision (0.5x) — small KV leaves the fused
+        # kernel launch-bound, XLA's unfused path wins there
+        and k.shape[1] >= 256
     )
     if wants_pallas and pallas_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention

@@ -1,2 +1,3 @@
 from mmgl_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, param_shardings, batch_sharding, shard_params, shard_batch)
+    make_mesh, param_shardings, batch_sharding, shard_params, shard_batch,
+    gather_tokens, init_distributed)

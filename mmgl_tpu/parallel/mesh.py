@@ -101,10 +101,54 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    sharding = batch_sharding(mesh)
+def shard_batch(batch: Dict, mesh: Mesh,
+                spec: Optional[P] = None) -> Dict:
+    """Host batch -> batch-sharded global device arrays.
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    Single-process: plain device_put. Multi-process (DCN): each host holds
+    only its shard of the global batch (the loader is sharded by
+    process_index, replacing DistributedSampler, run_generation.py:366-368);
+    make_array_from_process_local_data assembles the global array without
+    any cross-host data movement.
 
-    return {k: put(v) for k, v in batch.items()}
+    spec defaults to P("data") (batch axis 0); grad-accumulation batches
+    shaped (accum, batch, ...) pass P(None, "data") so the scan axis stays
+    unsharded.
+    """
+    sharding = (batch_sharding(mesh) if spec is None
+                else NamedSharding(mesh, spec))
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in batch.items()}
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def gather_tokens(x) -> np.ndarray:
+    """Gather a (possibly batch-sharded, multi-host) array onto every host.
+
+    Counterpart of the reference's eval all_gather of generated/label ids
+    (run_generation.py:608-617). Single-process: plain fetch. Multi-process:
+    concatenate this host's addressable shards in index order, then
+    process_allgather across hosts (tiled along the batch axis).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        x = np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(x), tiled=True))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (replaces dist.init_process_group + mp.spawn,
+    run_generation.py:265-283): one call per host; the JAX runtime handles
+    rendezvous and builds the global device view over DCN."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

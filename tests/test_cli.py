@@ -9,6 +9,32 @@ from mmgl_tpu.config import Arguments
 from mmgl_tpu.cli import run_training, first_period_truncate
 
 
+def test_fp16_maps_to_fp32():
+    """SURVEY Q6: the reference's --fp16 actually trains fp32; we reproduce
+    that documented mapping unless bf16 is explicitly requested."""
+    import jax.numpy as jnp
+
+    from mmgl_tpu.models.factory import build_fusion_config
+
+    args = Arguments(model_name_or_path="opt-tiny", fp16=True)
+    assert args.compute_dtype == "float32"
+    cfg = build_fusion_config(args, vocab_size=64)
+    assert cfg.opt.dtype == jnp.float32
+
+    args_bf16 = Arguments(model_name_or_path="opt-tiny", bf16=True)
+    cfg = build_fusion_config(args_bf16, vocab_size=64)
+    assert cfg.opt.dtype == jnp.bfloat16
+
+
+def test_mixed_token_counts_rejected():
+    from mmgl_tpu.models.factory import build_fusion_config
+
+    args = Arguments(model_name_or_path="opt-tiny", neighbor_mode="embedding",
+                     n_text_tokens=4, n_visual_tokens=2)
+    with pytest.raises(ValueError, match="n_text_tokens"):
+        build_fusion_config(args, vocab_size=64)
+
+
 def test_first_period_truncate():
     assert first_period_truncate("hello world. more") == "hello world"
     assert first_period_truncate("a. b") == "a. b"  # idx <= 5: keep

@@ -1,0 +1,134 @@
+"""ETL execution test: GZIP SequenceExample tfrecords -> parquet/pickle ->
+store -> assembler (VERDICT r1 item 6; reference flow
+preprocess_data.py:56-181 -> data.py:13-31)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _bytes(v):
+    return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+
+
+def _int(v):
+    return tf.train.Feature(int64_list=tf.train.Int64List(value=[v]))
+
+
+def _page_example(page_id: int, n_sections: int):
+    ctx = tf.train.Features(feature={
+        "split": _bytes(b"train"),
+        "page_title": _bytes(f"Page {page_id}".encode()),
+        "page_url": _bytes(f"http://wiki/{page_id}".encode()),
+        "clean_page_description": _bytes(
+            f"Description of page {page_id}.".encode()),
+        "raw_page_description": _bytes(b"raw description"),
+        "is_page_description_sample": _int(1),
+        "page_contains_images": _int(1),
+        "page_content_sections_without_table_list": _int(n_sections),
+    })
+
+    def fl(values, kind):
+        feats = [kind(v) for v in values]
+        return tf.train.FeatureList(feature=feats)
+
+    seq = tf.train.FeatureLists(feature_list={
+        "is_section_summarization_sample": fl(
+            [1] * (n_sections - 1) + [0], _int),
+        "section_title": fl(
+            [f"Sec{i}".encode() for i in range(n_sections)], _bytes),
+        "section_index": fl(list(range(n_sections)), _int),
+        "section_depth": fl([0] + [1] * (n_sections - 1), _int),
+        "section_heading_level": fl([1] * n_sections, _int),
+        "section_subsection_index": fl([0] * n_sections, _int),
+        "section_parent_index": fl([-1] + [0] * (n_sections - 1), _int),
+        "section_text": fl([b"full text"] * n_sections, _bytes),
+        "section_clean_1st_sentence": fl(
+            [f"Summary of page {page_id} section {i}.".encode()
+             for i in range(n_sections)], _bytes),
+        "section_raw_1st_sentence": fl([b"raw 1st"] * n_sections, _bytes),
+        "section_rest_sentence": fl(
+            [f"Rest of section {i} on page {page_id} with content.".encode()
+             for i in range(n_sections)], _bytes),
+        "is_image_in_section": fl([0] * n_sections, _int),
+        "section_image_url": fl(
+            [f"http://img/{page_id}_{i}.jpg".encode()
+             for i in range(n_sections)], _bytes),
+        "section_image_captions": fl(
+            [f"caption {i}".encode() for i in range(n_sections)], _bytes),
+    })
+    return tf.train.SequenceExample(context=ctx, feature_lists=seq)
+
+
+@pytest.fixture(scope="module")
+def etl_dir(tmp_path_factory):
+    """3 pages -> splits train/val/test (1 page each)."""
+    root = str(tmp_path_factory.mktemp("etl")) + "/"
+    path = os.path.join(root, "wikiweb2m-test.tfrecord.gz")
+    opts = tf.io.TFRecordOptions(compression_type="GZIP")
+    with tf.io.TFRecordWriter(path, opts) as w:
+        for pid, n_sec in enumerate((3, 2, 2)):
+            w.write(_page_example(pid, n_sec).SerializeToString())
+
+    from mmgl_tpu.data.preprocess import DataParser
+
+    parser = DataParser(path=root)
+    parser.parse_data()
+    parser.split_ids("section", max_pages=3, train_pages=1, val_pages=1)
+    parser.save_parquet(max_pages=3, train_pages=1, val_pages=1)
+    return root
+
+
+def test_split_ids(etl_dir):
+    with open(os.path.join(etl_dir, "section_id_split_large.pkl"), "rb") as f:
+        ids = pickle.load(f)
+    # summarization flag is 0 on each page's last section
+    assert ids["train"] == [(0, 0), (0, 1)]
+    assert ids["val"] == [(1, 0)]
+    assert ids["test"] == [(2, 0)]
+
+
+def test_parquet_schema_and_store(etl_dir):
+    import pandas as pd
+
+    df = pd.read_parquet(
+        os.path.join(etl_dir, "wikiweb2m_train_large.parquet"))
+    assert list(df.columns) == [
+        "page_id", "page_url", "page_title", "page_description",
+        "section_title", "section_depth", "section_heading",
+        "section_parent_index", "section_summary", "section_rest_sentence",
+        "image_url", "image_caption"]
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row.page_title == b"Page 0"
+    assert list(row.section_title) == [b"Sec0", b"Sec1", b"Sec2"]
+    assert row.section_summary[1] == b"Summary of page 0 section 1."
+
+
+def test_end_to_end_sample(etl_dir):
+    """parquet+pickle -> load_wikiweb2m -> assembler -> valid fixed-shape
+    sample whose decoded prompt carries the section text."""
+    from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
+    from mmgl_tpu.data.store import load_wikiweb2m
+    from mmgl_tpu.utils.tokenizer import ByteTokenizer
+
+    train_s, val_s, test_s, ids = load_wikiweb2m("section", etl_dir)
+    assert len(train_s) == len(val_s) == len(test_s) == 1
+
+    tok = ByteTokenizer()
+    cfg = AssemblerConfig(context="text_only", decoder_only=True,
+                          max_input_length=96, max_output_length=32)
+    ds = WikiWeb2MAssembler(cfg, train_s, ids["train"], tok)
+    sample = ds[0]
+    assert sample["input_ids"].shape == (96 + 32,)
+    assert sample["attention_mask"].shape == (96 + 32,)
+    text = tok.decode(sample["input_ids"][:96])
+    assert text.startswith("summarize: Rest of section 0 on page 0")
+    assert ", context: Page 0, Description of page 0." in text
+    label_text = tok.decode(sample["input_ids"][96:])
+    # output span is 32 byte-tokens: BOS-stripped prefix of the summary
+    assert label_text.startswith(", summary: Summary of page 0")

@@ -1,0 +1,95 @@
+"""Overfit-to-BLEU quality gate (VERDICT r1 item 2).
+
+Proves the full assemble -> fuse -> train -> generate -> metric chain
+optimizes the right objective end to end: train a tiny model on a small
+synthetic corpus until it memorizes, then score it through the REAL
+evaluate_loop + greedy_generate path (the reference's model-selection loop,
+run_generation.py:384-428,527-703) and require BLEU-4 / CIDEr well above
+chance. Covers all three model families: OPT (dec-only raw), T5 (enc-dec
+raw), MPT (cross-attention over embedding-mode neighbors).
+
+Thresholds are ~half the calibrated scores (opt 0.50/4.5, t5 0.32/3.4,
+mpt 0.50/4.5 at 300-400 steps) — far above the 0.000 an untrained or
+mis-wired model produces.
+"""
+
+from functools import partial
+
+import jax
+import numpy as np
+import pytest
+
+from mmgl_tpu.cli import evaluate_loop
+from mmgl_tpu.config import Arguments
+from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
+from mmgl_tpu.data.loader import PrefetchLoader
+from mmgl_tpu.data.synthetic import make_synthetic_corpus
+from mmgl_tpu.models.factory import build_model
+from mmgl_tpu.parallel import make_mesh
+from mmgl_tpu.peft import trainable_mask
+from mmgl_tpu.train.generate import greedy_generate
+from mmgl_tpu.train.optim import build_optimizer
+from mmgl_tpu.train.steps import (create_train_state, make_eval_step,
+                                  make_train_step)
+from mmgl_tpu.utils import get_tokenizer
+
+
+def _overfit_and_score(model_name, neighbor_mode, context, steps, lr):
+    args = Arguments(
+        model_name_or_path=model_name, context=context,
+        neighbor_mode=neighbor_mode, max_input_length=48,
+        max_output_length=40, max_text_neighbors=3, max_image_neighbors=2,
+        n_text_tokens=2, n_visual_tokens=2, learning_rate=lr,
+        lr_warmup_steps=20, grad_clip=1.0, steps_per_epoch=steps,
+        grad_accumulation_steps=1, val_steps_per_epoch=10,
+        use_pallas=False, seed=0)
+    args.decoder_only = "t5" not in model_name
+    tok = get_tokenizer(None)
+    model, fcfg = build_model(args, vocab_size=tok.vocab_size, tokenizer=tok)
+
+    cfg = AssemblerConfig.from_args(args)
+    cfg.image_size = 32
+    store, ids, provider = make_synthetic_corpus(num_pages=8, image_size=32,
+                                                 seed=0)
+    ds = WikiWeb2MAssembler(cfg, store, ids[:16], tok, provider)
+
+    loader = PrefetchLoader(ds, batch_size=16, shuffle=False, num_workers=1,
+                            prefetch=1)
+    batch = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = trainable_mask(variables["params"], args.peft_type, args.freeze_lm)
+    tx = build_optimizer(args, mask)
+    state = create_train_state(dict(variables["params"]), tx)
+    step = jax.jit(make_train_step(model, tx, fcfg.decoder_only,
+                                   args.max_input_length, tok.pad_token_id),
+                   donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(steps):
+        rng, r = jax.random.split(rng)
+        state, m = step(state, batch, r)
+    assert np.isfinite(float(m["loss"]))
+
+    eval_step = jax.jit(make_eval_step(model, fcfg.decoder_only,
+                                       args.max_input_length,
+                                       tok.pad_token_id))
+    gen = jax.jit(partial(greedy_generate, model, max_new_tokens=32))
+    eval_loader = PrefetchLoader(ds, batch_size=8, num_workers=1, prefetch=1)
+    return evaluate_loop(eval_loader, model, state, eval_step, gen, tok,
+                         args, fcfg, make_mesh((1, 1)), 0,
+                         lambda s, t: None, prefix="test")
+
+
+@pytest.mark.parametrize(
+    "model_name,neighbor_mode,context,steps,min_bleu4,min_cider",
+    [
+        ("opt-tiny", "raw", "section_only", 300, 0.2, 2.0),
+        ("t5-tiny", "raw", "section_only", 400, 0.15, 1.5),
+        ("mpt-tiny", "embedding", "section_all", 300, 0.2, 2.0),
+    ],
+    ids=["opt-decoder-only", "t5-encdec", "mpt-cross-attn"])
+def test_quality_gate(model_name, neighbor_mode, context, steps,
+                      min_bleu4, min_cider):
+    res = _overfit_and_score(model_name, neighbor_mode, context, steps,
+                             lr=3e-3)
+    assert res["bleu4"] > min_bleu4, res
+    assert res["cider"] > min_cider, res

@@ -1,0 +1,84 @@
+"""Layerdrop (modelling_cross_attention.py:581-584) + remat smoke tests."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmgl_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+BASE = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, ffn_dim=64, dropout=0.0,
+            attention_dropout=0.0, use_pallas=False)
+
+
+def _ids():
+    rng = np.random.RandomState(0)
+    return jnp.asarray(rng.randint(3, 60, (2, 12)), jnp.int32)
+
+
+def test_layerdrop_one_skips_every_layer():
+    """layerdrop=1.0 at train time must reduce the decoder to its embedding
+    + final-LN pipeline — identical to a 0-layer decoder with the same
+    embedding params (the reference's `continue` skips the whole layer)."""
+    cfg = OPTConfig(layerdrop=1.0, **BASE)
+    model = OPTForCausalLM(cfg)
+    ids = _ids()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ids)
+    out, _ = model.apply(variables, ids, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+
+    cfg0 = replace(cfg, num_hidden_layers=0, layerdrop=0.0)
+    model0 = OPTForCausalLM(cfg0)
+    dec = variables["params"]["decoder"]
+    params0 = {"decoder": {k: dec[k] for k in
+                           ("embed_tokens", "embed_positions",
+                            "final_layer_norm")}}
+    out0, _ = model0.apply({"params": params0}, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layerdrop_stochastic_and_eval_deterministic():
+    cfg = OPTConfig(layerdrop=0.5, **BASE)
+    model = OPTForCausalLM(cfg)
+    ids = _ids()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ids)
+    outs = [np.asarray(model.apply(variables, ids, deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(k)})[0])
+            for k in range(4)]
+    assert any(not np.allclose(outs[0], o) for o in outs[1:]), \
+        "layerdrop never fired across 4 rngs"
+
+    # eval mode ignores layerdrop entirely
+    full = OPTForCausalLM(replace(cfg, layerdrop=0.0))
+    a, _ = model.apply(variables, ids, deterministic=True)
+    b, _ = full.apply(variables, ids, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_matches_no_remat():
+    """--remat (jax.checkpoint over decoder layers) must not change the
+    gradients, only the memory/compute trade."""
+    ids = _ids()
+    cfg = OPTConfig(**BASE)
+    model = OPTForCausalLM(cfg)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    model_r = OPTForCausalLM(replace(cfg, remat=True))
+
+    def loss(m):
+        def fn(params):
+            logits, _ = m.apply({"params": params}, ids)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+        return fn
+
+    g = jax.jit(jax.grad(loss(model)))(variables["params"])
+    g_r = jax.jit(jax.grad(loss(model_r)))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g, g_r)
