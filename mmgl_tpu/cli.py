@@ -281,9 +281,6 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                 spec = P(None, "data") if accum > 1 else None
                 sharded = shard_batch(reshape_accum(batch), mesh, spec=spec)
                 state, metrics = train_step(state, sharded, step_rng)
-            loss_val = float(metrics["summary_loss" if fcfg.decoder_only
-                                     else "loss"])
-            losses.update(loss_val, global_bs)
             batch_time.update(time.time() - end)
             end = time.time()
 
@@ -292,6 +289,15 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                 jax.profiler.stop_trace()
             actual_step = epoch * updates_per_epoch + u + 1
             if actual_step == 1 or actual_step % args.print_freq == 0:
+                # fetch the loss ONLY at print intervals: a per-step
+                # float(...) is a device sync that stalls the dispatch
+                # pipeline (the reference pays .item() every step,
+                # run_generation.py:496-517; we sample instead). The fetch
+                # drains the queue, so batch_time.avg stays honest across a
+                # print window.
+                loss_val = float(metrics["summary_loss" if fcfg.decoder_only
+                                         else "loss"])
+                losses.update(loss_val, global_bs)
                 ex_per_sec = (global_bs * accum) / max(batch_time.avg, 1e-9)
                 progress.display(u + 1)
                 log({"train/loss": losses.avg,

@@ -68,11 +68,12 @@ def multi_head_attention(
         and dropout_rate == 0.0
         and q.shape[-1] <= 256
         and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
-        # measured (bench.py --kernel, v5e): Pallas wins causal 640x640
-        # (1.9x) and 512x512 text (1.86x) but LOSES 640->64 neighbor cross
-        # (0.15x) and 197x197 vision (0.5x) — small KV leaves the fused
-        # kernel launch-bound, XLA's unfused path wins there
-        and k.shape[1] >= 256
+        # measured on v5e: Pallas wins causal 640x640 (1.9x), 512x512 text
+        # (1.86x), and the in-model 197-patch CLIP tower (XLA there blew the
+        # uncached bench step 540ms -> 1616ms at B*H=2304 despite winning a
+        # small-B*H microbench); XLA wins the tiny 64-token neighbor cross
+        # memory, where the fused kernel is launch-bound (bench.py --kernel)
+        and k.shape[1] >= 128
     )
     if wants_pallas and pallas_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BQ = 256  # query rows per program in the forward kernel
+BK = 256  # key chunk per fori_loop step in the streaming causal forward
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
@@ -75,19 +76,74 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
     ).astype(o_ref.dtype)
 
 
+def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                              scale, sq, sk):
+    """Causal forward with online softmax + block skipping.
+
+    Query block j only attends keys < (j+1)*BQ + (sk-sq); looping k in BK
+    chunks with a data-dependent trip count skips the fully-masked upper
+    triangle (~45% of the work at 640 tokens) that the dense kernel wastes
+    MXU cycles on. K/V stay fully resident in VMEM — the loop bounds
+    compute, not memory traffic.
+    """
+    j = pl.program_id(1)
+    qblk = q_ref[0].astype(jnp.float32)                    # (BQ, D)
+    sk_p = k_ref.shape[1]
+    d = qblk.shape[1]
+
+    limit = (j + 1) * BQ + (sk - sq)          # exclusive causal key bound
+    n_kb = jnp.minimum((limit + BK - 1) // BK, sk_p // BK)
+
+    q_idx = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+             + j * BQ + (sk - sq))
+
+    def body(kb, carry):
+        m_i, l_i, acc = carry
+        k_chunk = k_ref[0, pl.ds(kb * BK, BK)].astype(jnp.float32)
+        v_chunk = v_ref[0, pl.ds(kb * BK, BK)].astype(jnp.float32)
+        mask_chunk = mask_ref[0, 0, pl.ds(kb * BK, BK)]
+        logits = jax.lax.dot_general(
+            qblk, k_chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (BQ, BK)
+        k_idx = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + kb * BK)
+        ok = (mask_chunk[None, :] > 0) & (q_idx >= k_idx)
+        logits = jnp.where(ok, logits, NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_new = l_i * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v_chunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ,), jnp.float32)
+    acc0 = jnp.zeros((BQ, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
 def _fwd(q, k, v, kv_mask, scale, causal, interpret):
     """q: (BH, Sq, D); k/v: (BH, Sk, D); kv_mask: (BH, Sk) int32."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     q_p = _pad_to(q, 1, BQ)
-    k_p = _pad_to(k, 1, 128)
-    v_p = _pad_to(v, 1, 128)
-    mask_p = _pad_to(kv_mask, 1, 128, value=0)[:, None, :]  # (bh, 1, sk_p)
+    kv_mult = BK if causal else 128   # streaming kernel chunks K by BK
+    k_p = _pad_to(k, 1, kv_mult)
+    v_p = _pad_to(v, 1, kv_mult)
+    mask_p = _pad_to(kv_mask, 1, kv_mult, value=0)[:, None, :]  # (bh,1,sk_p)
     sq_p, sk_p = q_p.shape[1], k_p.shape[1]
 
+    if causal:
+        kernel = functools.partial(_fwd_kernel_causal_stream, scale=scale,
+                                   sq=sq, sk=sk)
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, causal=False,
+                                   sq=sq, sk=sk)
     grid = (bh, sq_p // BQ)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal, sq=sq, sk=sk),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         grid=grid,
         in_specs=[

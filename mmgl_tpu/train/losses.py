@@ -40,6 +40,25 @@ def seq2seq_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return ce.sum() / jnp.maximum(valid.sum(), 1)
 
 
+def causal_losses(logits: jax.Array, labels: jax.Array,
+                  max_input_length: int, pad_token_id: int):
+    """(lm_loss, summary_loss) from ONE per-token CE pass.
+
+    summary_loss is the same shifted CE restricted to label-span positions
+    with pads dropped (run_generation.py:470-481) — recomputing the
+    full-vocab logsumexp for it (as calling causal_lm_loss + summary_loss
+    separately does) doubles the most bandwidth-hungry op in the step.
+    """
+    ce, valid = _token_ce(logits[:, :-1], labels[:, 1:])
+    loss = ce.sum() / jnp.maximum(valid.sum(), 1)
+    pos = jnp.arange(ce.shape[1])
+    shifted = labels[:, 1:]
+    span = valid & (pos[None, :] >= max_input_length) \
+        & (shifted != pad_token_id)
+    s_loss = (ce * span).sum() / jnp.maximum(span.sum(), 1)
+    return loss, s_loss
+
+
 def summary_loss(logits: jax.Array, labels: jax.Array, max_input_length: int,
                  pad_token_id: int) -> jax.Array:
     """Decoder-only logging loss over the label span only

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from mmgl_tpu.train.losses import causal_lm_loss, seq2seq_loss, summary_loss
+from mmgl_tpu.train.losses import (causal_lm_loss, causal_losses,
+                                   seq2seq_loss, summary_loss)
 
 
 class TrainState(struct.PyTreeNode):
@@ -41,10 +42,10 @@ def make_loss_fn(model, decoder_only: bool, max_input_length: int,
                           deterministic=rng is None, rngs=rngs)
         logits, labels = out["logits"], out["labels"]
         if decoder_only:
-            loss = causal_lm_loss(logits, labels)
-            # the logged "summary loss" metric (run_generation.py:470-481)
-            s_loss = summary_loss(logits, labels, max_input_length,
-                                  pad_token_id)
+            # one CE pass yields both the training loss and the logged
+            # "summary loss" metric (run_generation.py:470-481)
+            loss, s_loss = causal_losses(logits, labels, max_input_length,
+                                         pad_token_id)
         else:
             loss = seq2seq_loss(logits, labels)
             s_loss = loss
@@ -105,9 +106,8 @@ def make_eval_step(model, decoder_only: bool, max_input_length: int,
         out = model.apply({"params": params}, batch, deterministic=True)
         logits, labels = out["logits"], out["labels"]
         if decoder_only:
-            loss = causal_lm_loss(logits, labels)
-            s_loss = summary_loss(logits, labels, max_input_length,
-                                  pad_token_id)
+            loss, s_loss = causal_losses(logits, labels, max_input_length,
+                                         pad_token_id)
             span = logits[:, max_input_length:-1]
         else:
             loss = seq2seq_loss(logits, labels)

@@ -1,0 +1,57 @@
+"""BASELINE.json config-family matrix at tiny scale.
+
+Each of the driver's five benchmark configs runs end to end (train + val +
+test with greedy decode + metrics) through run_training on the synthetic
+corpus — proving every advertised path works, not just the flagship:
+
+  1. OPT dec-only, context=section_only, raw             (CPU sample config)
+  2. T5 enc-dec, context=section_all, embedding + CLIP   (tower fusion)
+  3. OPT, context=text_only, embedding, peft=lora        (adapter training)
+  4. MPT, context=all, embedding, peft=flamingo          (gated cross-attn)
+  5. graph position encodings (laplacian) + prefix tuning, dp x tp mesh
+"""
+
+import numpy as np
+import pytest
+
+from mmgl_tpu.config import Arguments
+from mmgl_tpu.cli import run_training
+
+CONFIGS = {
+    "opt-raw-section_only": dict(
+        model_name_or_path="opt-tiny", context="section_only",
+        neighbor_mode="raw"),
+    "t5-embedding-section_all": dict(
+        model_name_or_path="t5-tiny", context="section_all",
+        neighbor_mode="embedding"),
+    "opt-lora-text_only": dict(
+        model_name_or_path="opt-tiny", context="text_only",
+        neighbor_mode="embedding", peft_type="lora", lora_r=4),
+    "mpt-flamingo-all": dict(
+        model_name_or_path="mpt-tiny", context="all",
+        neighbor_mode="embedding", peft_type="flamingo"),
+    "opt-laplacian-prefix-meshed": dict(
+        model_name_or_path="opt-tiny", context="all",
+        neighbor_mode="embedding", peft_type="prefix",
+        position_type="laplacian", mesh_shape=(2, 2)),
+    "opt-gnn-prompt": dict(
+        model_name_or_path="opt-tiny", context="all",
+        neighbor_mode="embedding", peft_type="prompt",
+        position_type="gnn"),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_baseline_config_family(name, tmp_path):
+    args = Arguments(
+        max_input_length=32, max_output_length=16, max_text_neighbors=3,
+        max_image_neighbors=2, n_text_tokens=2, n_visual_tokens=2,
+        per_device_train_batch_size=2, per_device_val_batch_size=2,
+        epochs=1, steps_per_epoch=2, val_steps_per_epoch=1,
+        grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+        lr_warmup_steps=2, log_dir=str(tmp_path), use_pallas=False, seed=0,
+        dataloader_num_workers=1, prefetch_batches=2,
+        **CONFIGS[name])
+    results = run_training(args)
+    for key in ("loss", "bleu4", "cider", "rougeL_fmeasure"):
+        assert key in results and np.isfinite(results[key]), (name, key)

@@ -141,3 +141,28 @@ def test_sharded_train_step_dp_tp():
         sharded = shard_batch(batch, mesh)
         state, metrics = step(state, sharded, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_causal_losses_single_pass_parity():
+    """causal_losses must equal (causal_lm_loss, summary_loss) exactly —
+    it exists to halve the full-vocab CE bandwidth, not change values."""
+    import jax.numpy as jnp
+
+    from mmgl_tpu.train.losses import (causal_lm_loss, causal_losses,
+                                       summary_loss)
+
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 24, 32), jnp.float32)
+    labels = rng.randint(0, 32, (2, 24)).astype(np.int32)
+    labels[0, 5:8] = -100   # fused/neighbor positions
+    labels[:, 20:] = 1      # trailing pads (pad_token_id=1)
+    labels = jnp.asarray(labels)
+
+    loss, s_loss = causal_losses(logits, labels, max_input_length=16,
+                                 pad_token_id=1)
+    np.testing.assert_allclose(float(loss),
+                               float(causal_lm_loss(logits, labels)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        float(s_loss),
+        float(summary_loss(logits, labels, 16, 1)), rtol=1e-6)
