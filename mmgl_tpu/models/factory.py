@@ -62,7 +62,10 @@ def _opt_config(args: Arguments, size: str, cross: bool) -> OPTConfig:
         lora_alpha=args.lora_alpha, lora_dropout=args.lora_dropout,
         dtype=_dtype(args.compute_dtype if args.bf16 else "float32"),
         param_dtype=_dtype(args.param_dtype),
-        use_pallas=args.use_pallas or None, remat=args.remat,
+        # True -> None (auto: Pallas where supported); False -> force XLA.
+        # `args.use_pallas or None` mapped False to auto, silently running
+        # Pallas on TPU when the user asked for XLA.
+        use_pallas=None if args.use_pallas else False, remat=args.remat,
     )
 
 
@@ -139,7 +142,7 @@ def build_fusion_config(args: Arguments,
     dt = _dtype(args.compute_dtype if args.bf16 else "float32")
     pdt = _dtype(args.param_dtype)
     tower_kw = dict(dtype=dt, param_dtype=pdt,
-                    use_pallas=args.use_pallas or None)
+                    use_pallas=None if args.use_pallas else False)
     if "clip" in args.text_model:
         text_cfg = CLIPTextConfig(**tower_kw) if not tiny else CLIPTextConfig(
             hidden_size=32, num_hidden_layers=2, num_attention_heads=2,

@@ -12,12 +12,18 @@ Layout: q,k,v are (batch, seq, heads, head_dim) — BSHD, flax convention.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+
+# Smallest KV length the fused kernel is dispatched for; below it the
+# kernel is launch-bound and XLA's unfused path wins (bench.py --kernel).
+# Env-overridable for on-chip dispatch tuning.
+PALLAS_MIN_KV = int(os.environ.get("MMGL_PALLAS_MIN_KV", "128"))
 
 
 def _supports_pallas() -> bool:
@@ -68,12 +74,9 @@ def multi_head_attention(
         and dropout_rate == 0.0
         and q.shape[-1] <= 256
         and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
-        # measured on v5e: Pallas wins causal 640x640 (1.9x), 512x512 text
-        # (1.86x), and the in-model 197-patch CLIP tower (XLA there blew the
-        # uncached bench step 540ms -> 1616ms at B*H=2304 despite winning a
-        # small-B*H microbench); XLA wins the tiny 64-token neighbor cross
-        # memory, where the fused kernel is launch-bound (bench.py --kernel)
-        and k.shape[1] >= 128
+        # measured on v5e: Pallas wins causal 640x640 (1.9x) and 512x512
+        # text (1.86x); XLA wins the tiny 64-token neighbor cross memory
+        and k.shape[1] >= PALLAS_MIN_KV
     )
     if wants_pallas and pallas_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention

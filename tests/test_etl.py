@@ -132,3 +132,62 @@ def test_end_to_end_sample(etl_dir):
     label_text = tok.decode(sample["input_ids"][96:])
     # output span is 32 byte-tokens: BOS-stripped prefix of the summary
     assert label_text.startswith(", summary: Summary of page 0")
+
+
+def test_image_downloader_behaviors(etl_dir, monkeypatch, tmp_path):
+    """Download loop parity (preprocess_data.py:183-233): UA header, 404
+    skip, busy retry-after-1s, corrupted-image delete, existing-file skip."""
+    import io
+    import types
+
+    from PIL import Image as PILImage
+
+    from mmgl_tpu.data import preprocess as pp
+
+    good = io.BytesIO()
+    PILImage.new("RGB", (4, 4), (10, 20, 30)).save(good, format="JPEG")
+    good_bytes = good.getvalue()
+
+    calls = []
+
+    def fake_get(url, headers=None, timeout=None):
+        calls.append(url)
+        assert "User-Agent" in headers
+        r = types.SimpleNamespace()
+        if "0_0" in url:                       # page 0 sec 0: success
+            r.status_code, r.content = 200, good_bytes
+        elif "0_1" in url:                     # page 0 sec 1: 404 -> skip
+            r.status_code, r.content = 404, b""
+        elif "0_2" in url:                     # page 0 sec 2: busy then ok
+            n = sum("0_2" in c for c in calls)
+            r.status_code = 429 if n == 1 else 200
+            r.content = good_bytes
+        elif "1_0" in url:                     # page 1 sec 0: corrupt bytes
+            r.status_code, r.content = 200, b"not an image"
+        else:                                  # everything else: 404
+            r.status_code, r.content = 404, b""
+        return r
+
+    slept = []
+    monkeypatch.setattr(pp.time, "sleep", lambda s: slept.append(s))
+
+    import requests
+
+    monkeypatch.setattr(requests, "get", fake_get)
+
+    parser = pp.DataParser(path=etl_dir)
+    parser.parse_data()
+    image_dir = str(tmp_path / "images")
+    parser.download_images(image_dir=image_dir)
+
+    files = sorted(os.listdir(image_dir))
+    assert "0_0_0.jpg" in files          # downloaded + valid
+    assert "0_1_0.jpg" not in files      # 404 skipped
+    assert "0_2_0.jpg" in files          # retried after busy
+    assert slept == [1.0]                # exactly one 1s busy backoff
+    assert "1_0_0.jpg" not in files      # corrupt file deleted
+
+    # second run: existing files are not re-fetched
+    n_calls = len(calls)
+    parser.download_images(image_dir=image_dir)
+    assert sum("0_0" in c for c in calls[n_calls:]) == 0
