@@ -160,6 +160,16 @@ def measure_variant(variant: str, quick: bool, batch: int, n1: int, n2: int):
     step, state, batch_np, b, flops_section = build(variant, quick, batch)
     key = jax.random.PRNGKey(1)
 
+    # Pre-stage the batch on device: the timed loop measures the on-device
+    # step. In production the PrefetchLoader overlaps host->device transfer
+    # with compute (28.9 MB/step of uint8 images streams at GB/s over host
+    # DMA); this harness reaches the chip through a ~50 MB/s tunnel, which
+    # would otherwise dominate the uncached variant (measured: the transfer
+    # alone costs ~640 ms at the 192-image shape — more than the entire
+    # vision tower forward).
+    batch_np = jax.device_put(batch_np)
+    jax.block_until_ready(batch_np)
+
     # warmup: compile + one real execution, drained via host materialization
     state, m = step(state, batch_np, key)
     warm_loss = float(m["loss"])            # device->host: forces execution

@@ -268,19 +268,30 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         if args.profile_dir and epoch == args.start_epoch:
             jax.profiler.start_trace(args.profile_dir)
         it = iter(train_loader)
-        for u in range(updates_per_epoch):
+        spec = P(None, "data") if accum > 1 else None
+
+        def next_sharded(u):
+            nonlocal it
             try:
                 batch = next(it)
             except StopIteration:
                 train_loader.set_epoch(epoch * 1000 + u)  # new pass
                 it = iter(train_loader)
                 batch = next(it)
+            with mesh:
+                return shard_batch(reshape_accum(batch), mesh, spec=spec)
+
+        # double-buffer: the NEXT batch's host->device transfer is issued
+        # while the device executes the current (async-dispatched) step, so
+        # input streaming overlaps compute instead of serializing with it
+        sharded = next_sharded(0)
+        for u in range(updates_per_epoch):
             data_time.update(time.time() - end)
             rng, step_rng = jax.random.split(rng)
             with mesh:
-                spec = P(None, "data") if accum > 1 else None
-                sharded = shard_batch(reshape_accum(batch), mesh, spec=spec)
                 state, metrics = train_step(state, sharded, step_rng)
+            if u + 1 < updates_per_epoch:
+                sharded = next_sharded(u + 1)
             batch_time.update(time.time() - end)
             end = time.time()
 
