@@ -215,12 +215,19 @@ def main():
     ap.add_argument("--n2", type=int, default=25)
     ap.add_argument("--kernel", action="store_true",
                     help="compare Pallas fused attention vs XLA instead")
+    ap.add_argument("--data", action="store_true",
+                    help="measure host data-pipeline throughput instead")
+    ap.add_argument("--variants", default="cached,uncached",
+                    help="comma list of step variants to measure")
     args = ap.parse_args()
 
     import jax
 
     if args.kernel:
         bench_kernel(args)
+        return
+    if args.data:
+        bench_data(args)
         return
 
     on_tpu = jax.default_backend() == "tpu"
@@ -229,7 +236,7 @@ def main():
 
     n1, n2 = (args.n1, args.n2) if not args.quick else (2, 5)
     results = {}
-    for variant in ("cached", "uncached"):
+    for variant in args.variants.split(","):
         print(f"[bench] measuring variant={variant} ...", file=sys.stderr)
         r = measure_variant(variant, args.quick, args.batch, n1, n2)
         if peak is not None:
@@ -250,8 +257,8 @@ def main():
     # reference-stack roofline (documented arithmetic, favors the reference).
     # The reference's model FLOPs per section == our cached variant's (same
     # LM, same tokens); its tower re-encodes are extra work we ignore.
-    ref_flops_section = (results["cached"]["model_tflops_per_step"] * 1e12
-                         / results["cached"]["batch"])
+    head = results.get("cached") or next(iter(results.values()))
+    ref_flops_section = head["model_tflops_per_step"] * 1e12 / head["batch"]
     a100_est = A100_FP32_PEAK * A100_ASSUMED_MFU / ref_flops_section
     arithmetic = (
         f"A100 fp32 peak {A100_FP32_PEAK/1e12:.1f}e12 x assumed MFU "
@@ -260,19 +267,18 @@ def main():
         f"= {a100_est:.2f} sections/s/chip; ignores the reference's data "
         f"stalls and per-step frozen-tower re-encode (both favor it)")
 
-    headline = results["cached"]
+    extra = dict(results)
+    if "uncached" in results:
+        extra["uncached_vs_baseline"] = round(
+            results["uncached"]["sections_per_sec_per_chip"] / a100_est, 3)
     print(json.dumps({
         "metric": "train_sections_per_sec_per_chip",
-        "value": headline["sections_per_sec_per_chip"],
+        "value": head["sections_per_sec_per_chip"],
         "unit": "sections/s/chip",
         "vs_baseline": round(
-            headline["sections_per_sec_per_chip"] / a100_est, 3),
+            head["sections_per_sec_per_chip"] / a100_est, 3),
         "extra": {
-            "cached": results["cached"],
-            "uncached": results["uncached"],
-            "uncached_vs_baseline": round(
-                results["uncached"]["sections_per_sec_per_chip"] / a100_est,
-                3),
+            **extra,
             "device_kind": kind,
             "peak_tflops": (peak / 1e12 if peak else None),
             "a100_reference_estimate_sections_per_sec": round(a100_est, 2),
@@ -280,6 +286,50 @@ def main():
             "timing": f"two-point difference (N1={n1}, N2={n2}), loss "
                       f"materialized on host each point",
         },
+    }))
+
+
+def bench_data(args):
+    """Host input-pipeline throughput: sections assembled+batched per second
+    through the threaded PrefetchLoader (raw 'all' context with images —
+    the heaviest assembly path). The device consumes ~166 sections/s/chip;
+    the host pipeline must sustain more than that per chip driven."""
+    import time as _time
+
+    from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
+    from mmgl_tpu.data.loader import PrefetchLoader
+    from mmgl_tpu.data.synthetic import make_synthetic_corpus
+    from mmgl_tpu.utils.tokenizer import ByteTokenizer
+
+    image_size = 32 if args.quick else 224
+    cfg = AssemblerConfig(context="all", neighbor_mode="raw",
+                          decoder_only=True,
+                          max_input_length=64 if args.quick else 512,
+                          max_output_length=16 if args.quick else 128,
+                          image_size=image_size)
+    store, ids, provider = make_synthetic_corpus(
+        num_pages=32 if args.quick else 256, image_size=image_size, seed=0)
+    ds = WikiWeb2MAssembler(cfg, store, ids, ByteTokenizer(), provider)
+    loader = PrefetchLoader(ds, batch_size=args.batch, shuffle=True,
+                            num_workers=8, prefetch=8)
+
+    n = 0
+    for batch in loader:   # warm caches / threads
+        n += batch["input_ids"].shape[0]
+        if n >= 2 * args.batch:
+            break
+    t0 = _time.perf_counter()
+    n = 0
+    for batch in loader:
+        n += batch["input_ids"].shape[0]
+    dt = _time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "data_sections_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "sections/s",
+        "vs_baseline": None,
+        "extra": {"sections": n, "seconds": round(dt, 3),
+                  "workers": 8, "context": "all+images"},
     }))
 
 

@@ -34,6 +34,16 @@ NEG_INF = -1e30
 BQ = 256  # query rows per program in the forward kernel
 BK = 256  # key chunk per fori_loop step in the streaming causal forward
 
+import os as _os
+
+# Streaming (causal-block-skipping online-softmax) vs dense causal forward.
+# Measured on v5e at MMGL's production 640-token shape: dense wins by ~1%
+# full-step (191.2 vs 192.9 ms) — the sequential softmax chain offsets the
+# upper-triangle FLOP skip when K/V already sit in VMEM. Dense is the
+# default; the streaming kernel stays selectable for longer-sequence
+# experiments where the skipped fraction grows.
+_CAUSAL_STREAM = _os.environ.get("MMGL_CAUSAL_STREAM", "0") == "1"
+
 
 def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
     size = x.shape[axis]
@@ -135,11 +145,11 @@ def _fwd(q, k, v, kv_mask, scale, causal, interpret):
     mask_p = _pad_to(kv_mask, 1, kv_mult, value=0)[:, None, :]  # (bh,1,sk_p)
     sq_p, sk_p = q_p.shape[1], k_p.shape[1]
 
-    if causal:
+    if causal and _CAUSAL_STREAM:
         kernel = functools.partial(_fwd_kernel_causal_stream, scale=scale,
                                    sq=sq, sk=sk)
     else:
-        kernel = functools.partial(_fwd_kernel, scale=scale, causal=False,
+        kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                                    sq=sq, sk=sk)
     grid = (bh, sq_p // BQ)
     out = pl.pallas_call(

@@ -91,3 +91,23 @@ def test_fully_masked_rows_finite():
     mask = jnp.zeros((1, 8), dtype=jnp.int32)
     out = flash_attention(q, k, v, kv_mask=mask, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_streaming_causal_kernel_matches_xla(monkeypatch):
+    """The block-skipping streaming causal forward (env-selectable,
+    MMGL_CAUSAL_STREAM=1) must match XLA exactly like the dense default."""
+    import mmgl_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_CAUSAL_STREAM", True)
+    # multi-block shapes so the causal limit actually skips chunks
+    q, k, v, mask = _make_qkv(b=1, sq=300, sk=300, h=2, d=16, seed=6)
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=True)
+    got = flash_attention(q, k, v, kv_mask=mask, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+    # decode-style end alignment (sq < sk) through the streaming path too
+    last = flash_attention(q[:, -36:], k, v, kv_mask=mask, causal=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref[:, -36:]),
+                               rtol=2e-3, atol=2e-4)
