@@ -60,14 +60,18 @@ def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
-    qblk = q_ref[0].astype(jnp.float32)          # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)             # (Sk, D)
-    v = v_ref[0].astype(jnp.float32)             # (Sk, D)
+    # matmul inputs stay in their native dtype (bf16 on TPU) with fp32
+    # accumulation — upcasting q/k/v first would force fp32 MXU passes at a
+    # fraction of the bf16 rate. Softmax math is fp32; probs are cast back
+    # to the value dtype for PV exactly like the XLA path (attention.py).
+    qblk = q_ref[0]                              # (BQ, D)
+    k = k_ref[0]                                 # (Sk, D)
+    v = v_ref[0]                                 # (Sk, D)
     kv_mask = mask_ref[0, 0]                     # (Sk,) int32
 
     logits = jax.lax.dot_general(
         qblk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                    # (BQ, Sk)
+    ) * scale                                    # (BQ, Sk) fp32
 
     logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
     if causal:
@@ -82,7 +86,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / denom
     o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -97,7 +102,7 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     compute, not memory traffic.
     """
     j = pl.program_id(1)
-    qblk = q_ref[0].astype(jnp.float32)                    # (BQ, D)
+    qblk = q_ref[0]                                        # (BQ, D)
     sk_p = k_ref.shape[1]
     d = qblk.shape[1]
 
@@ -109,12 +114,12 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
     def body(kb, carry):
         m_i, l_i, acc = carry
-        k_chunk = k_ref[0, pl.ds(kb * BK, BK)].astype(jnp.float32)
-        v_chunk = v_ref[0, pl.ds(kb * BK, BK)].astype(jnp.float32)
+        k_chunk = k_ref[0, pl.ds(kb * BK, BK)]
+        v_chunk = v_ref[0, pl.ds(kb * BK, BK)]
         mask_chunk = mask_ref[0, 0, pl.ds(kb * BK, BK)]
         logits = jax.lax.dot_general(
             qblk, k_chunk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # (BQ, BK)
+            preferred_element_type=jnp.float32) * scale    # (BQ, BK) fp32
         k_idx = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + kb * BK)
         ok = (mask_chunk[None, :] > 0) & (q_idx >= k_idx)
         logits = jnp.where(ok, logits, NEG_INF)
@@ -123,7 +128,7 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         p = jnp.exp(logits - m_new[:, None])
         l_new = l_i * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v_chunk, (((1,), (0,)), ((), ())),
+            p.astype(v_chunk.dtype), v_chunk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -184,16 +189,17 @@ def _fwd(q, k, v, kv_mask, scale, causal, interpret):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, causal, sq, sk):
-    q = q_ref[0].astype(jnp.float32)     # (Sq, D)
-    k = k_ref[0].astype(jnp.float32)     # (Sk, D)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+    # native-dtype (bf16) matmul inputs, fp32 accumulation — see _fwd_kernel
+    q = q_ref[0]                         # (Sq, D)
+    k = k_ref[0]                         # (Sk, D)
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
     kv_mask = mask_ref[0, 0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                            # (Sq, Sk)
+    ) * scale                            # (Sq, Sk) fp32
     logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
     if causal:
         q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
@@ -202,17 +208,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)   # (Sq, Sk)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)   # (Sq, Sk) fp32
+    p_n = p.astype(q.dtype)
 
     dv_ref[0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_n, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                             # (Sq, Sk)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale                 # (Sq, Sk)
+    )                                             # (Sq, Sk) fp32
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)   # (Sq, Sk)
 
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
