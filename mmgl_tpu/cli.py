@@ -13,11 +13,10 @@ files).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ center crop, scale 1/255, normalize with the CLIP mean/std).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from collections import defaultdict
-from typing import Dict, List
+from typing import Dict
 
 
 class DataParser:

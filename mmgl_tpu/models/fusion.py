@@ -20,8 +20,8 @@ Batches are the dicts the data layer emits (wikiweb2m/data.py:146-294,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

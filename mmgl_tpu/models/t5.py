@@ -10,7 +10,7 @@ broken generate, SURVEY Q5).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ Layout: q,k,v are (batch, seq, heads, head_dim) — BSHD, flax convention.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

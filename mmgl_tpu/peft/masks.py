@@ -13,7 +13,7 @@ projections.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 from flax import traverse_util

@@ -11,16 +11,14 @@ pjit — DDP allreduce and meter all_reduce both disappear into XLA).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from mmgl_tpu.train.losses import (causal_lm_loss, causal_losses,
-                                   seq2seq_loss, summary_loss)
+from mmgl_tpu.train.losses import causal_losses, seq2seq_loss
 
 
 class TrainState(struct.PyTreeNode):

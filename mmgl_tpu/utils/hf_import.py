@@ -10,7 +10,7 @@ no network, no torch at runtime on the hot path.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
