@@ -85,7 +85,7 @@ def vision_flops_per_image(n_params: int, n_patches: int, n_layers: int,
             + 4.0 * n_layers * n_patches * n_patches * d_model)
 
 
-def build(variant: str, quick: bool, batch: int):
+def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     import jax
 
     from mmgl_tpu.config import Arguments
@@ -95,7 +95,7 @@ def build(variant: str, quick: bool, batch: int):
     from mmgl_tpu.train.steps import create_train_state, make_train_step
 
     on_tpu = jax.default_backend() == "tpu"
-    size = "tiny" if quick else "125m"
+    size = "tiny" if quick else size
     margs = Arguments(
         model_name_or_path=f"opt-{size}", context="all", neighbor_mode="raw",
         max_input_length=64 if quick else 512,
@@ -154,10 +154,12 @@ def build(variant: str, quick: bool, batch: int):
     return step, state, batch_np, b, flops_section
 
 
-def measure_variant(variant: str, quick: bool, batch: int, n1: int, n2: int):
+def measure_variant(variant: str, quick: bool, batch: int, n1: int, n2: int,
+                    size: str = "125m"):
     import jax
 
-    step, state, batch_np, b, flops_section = build(variant, quick, batch)
+    step, state, batch_np, b, flops_section = build(variant, quick, batch,
+                                                    size)
     key = jax.random.PRNGKey(1)
 
     # Pre-stage the batch on device: the timed loop measures the on-device
@@ -217,8 +219,14 @@ def main():
                     help="compare Pallas fused attention vs XLA instead")
     ap.add_argument("--data", action="store_true",
                     help="measure host data-pipeline throughput instead")
+    ap.add_argument("--generate", action="store_true",
+                    help="measure test-eval generation throughput instead "
+                         "(prefill + 32-token greedy KV-cache decode)")
     ap.add_argument("--variants", default="cached,uncached",
                     help="comma list of step variants to measure")
+    ap.add_argument("--model", default="125m",
+                    help="OPT size: 125m (BASELINE config 1, default) or "
+                         "350m (the reference launch script's model)")
     args = ap.parse_args()
 
     import jax
@@ -229,6 +237,9 @@ def main():
     if args.data:
         bench_data(args)
         return
+    if args.generate:
+        bench_generate(args)
+        return
 
     on_tpu = jax.default_backend() == "tpu"
     kind = jax.devices()[0].device_kind
@@ -238,7 +249,8 @@ def main():
     results = {}
     for variant in args.variants.split(","):
         print(f"[bench] measuring variant={variant} ...", file=sys.stderr)
-        r = measure_variant(variant, args.quick, args.batch, n1, n2)
+        r = measure_variant(variant, args.quick, args.batch, n1, n2,
+                            size=args.model)
         if peak is not None:
             mfu = (r["model_tflops_per_step"] * 1e12
                    / (r["step_time_ms"] / 1e3) / peak)
@@ -286,6 +298,64 @@ def main():
             "timing": f"two-point difference (N1={n1}, N2={n2}), loss "
                       f"materialized on host each point",
         },
+    }))
+
+
+def bench_generate(args):
+    """Test-eval / serving path: greedy generation with preallocated KV
+    caches (train/generate.py) — prefill over the 512-token prompt + 32
+    lax.scan decode steps, the reference's test protocol
+    (run_generation.py:597-603, max_new_tokens=32)."""
+    from functools import partial
+
+    import jax
+
+    from mmgl_tpu.train.generate import greedy_generate
+    from mmgl_tpu.config import Arguments
+    from mmgl_tpu.models.factory import build_model
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = "tiny" if args.quick else args.model
+    margs = Arguments(
+        model_name_or_path=f"opt-{size}", context="section_only",
+        neighbor_mode="raw", max_input_length=64 if args.quick else 512,
+        max_output_length=16 if args.quick else 128,
+        bf16=on_tpu, use_pallas=on_tpu)
+    model, cfg = build_model(margs, vocab_size=50272)
+    b = 2 if args.quick else args.batch
+    rng = np.random.RandomState(0)
+    t = cfg.max_input_length + cfg.max_output_length
+    batch = {"input_ids": rng.randint(4, 50000, (b, t)).astype(np.int32),
+             "attention_mask": np.ones((b, t), np.int32),
+             "labels": rng.randint(4, 50000, (b, t)).astype(np.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    batch = jax.device_put(batch)
+    gen = jax.jit(partial(greedy_generate, model, max_new_tokens=32))
+
+    out = gen(variables, batch)
+    _ = np.asarray(out)          # drain (async dispatch)
+    n1, n2 = (2, 5) if args.quick else (args.n1, args.n2)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = gen(variables, batch)
+        _ = np.asarray(o)
+        return time.perf_counter() - t0
+
+    t_a, t_b = run(n1), run(n2)
+    dt = (t_b - t_a) / (n2 - n1)
+    if dt <= 0:
+        dt = t_b / n2
+    print(json.dumps({
+        "metric": "generate_sections_per_sec_per_chip",
+        "value": round(b / dt / jax.device_count(), 2),
+        "unit": "sections/s/chip",
+        "vs_baseline": None,
+        "extra": {"batch": b, "latency_ms": round(dt * 1e3, 2),
+                  "max_new_tokens": 32,
+                  "prompt_tokens": cfg.max_input_length},
     }))
 
 
