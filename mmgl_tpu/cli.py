@@ -322,13 +322,23 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                                 epoch, log)
         acc1 = results["bleu4"]
         if acc1 > best_acc1 or epoch == 0:
+            # the decision is identical on every rank (metrics come from the
+            # gathered global predictions), and orbax's save is a collective
+            # — ALL ranks call it; orbax writes from the primary host only
+            # (the reference's rank-0 torch.save, run_generation.py:397-416)
             best_acc1 = max(acc1, best_acc1)
-            if is_main:  # rank-0-only save (run_generation.py:397-416)
+            if is_main:
                 print("=> save best val model ...", args.save_dir)
-                checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
+            checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----
+    if n_procs > 1:
+        # non-zero ranks must not read the checkpoint before rank 0
+        # finishes writing it
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mmgl-final-ckpt")
     restored = checkpoints.restore_checkpoint(args.save_dir, state=state)
     if restored is not None:
         state = state.replace(params=checkpoints.merge_restored_params(

@@ -1,0 +1,84 @@
+"""REAL multi-host test: two JAX processes on one machine (CPU cluster).
+
+Spawns two subprocesses that each run the full run_training CLI path with
+--distributed (jax.distributed.initialize over a local coordinator, 2 CPU
+devices per process -> a 4-device global mesh). Exercises the code the
+8-fake-device tests cannot: make_array_from_process_local_data batch
+assembly, per-process loader shards, rank-0 checkpoint/log guards, the
+cross-host eval token gather, and the pre-restore sync barrier.
+Counterpart of the reference's mp.spawn+NCCL flow (run_generation.py:265-283).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+save_dir = sys.argv[3]
+log_dir = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from mmgl_tpu.config import Arguments
+from mmgl_tpu.cli import run_training
+
+args = Arguments(
+    model_name_or_path="opt-tiny", context="section_only",
+    neighbor_mode="raw", max_input_length=32, max_output_length=16,
+    per_device_train_batch_size=1, per_device_val_batch_size=1,
+    epochs=1, steps_per_epoch=2, val_steps_per_epoch=1,
+    grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+    lr_warmup_steps=2, log_dir=log_dir, save_dir=save_dir,
+    use_pallas=False, seed=0, dataloader_num_workers=1, prefetch_batches=2,
+    mesh_shape=(4, 1),
+    distributed=True, coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2, process_id=proc_id)
+results = run_training(args)
+print("RESULTS " + json.dumps(
+    {k: float(v) for k, v in results.items()}), flush=True)
+"""
+
+
+def test_two_process_training(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(rank), str(port),
+         str(tmp_path / "ckpt"), str(tmp_path / "log")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd="/root/repo") for rank in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULTS ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULTS "):]))
+    # both ranks gathered the same global predictions -> identical metrics
+    for key in ("loss", "bleu4", "cider"):
+        assert np.isfinite(results[0][key])
+        np.testing.assert_allclose(results[0][key], results[1][key],
+                                   rtol=1e-6, err_msg=key)
+    # rank-0-only artifacts
+    assert os.path.exists(tmp_path / "ckpt")
