@@ -24,6 +24,7 @@ proc_id = int(sys.argv[1])
 port = sys.argv[2]
 save_dir = sys.argv[3]
 log_dir = sys.argv[4]
+dp, tp = (int(x) for x in sys.argv[5].split(","))
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
@@ -40,7 +41,7 @@ args = Arguments(
     grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
     lr_warmup_steps=2, log_dir=log_dir, save_dir=save_dir,
     use_pallas=False, seed=0, dataloader_num_workers=1, prefetch_batches=2,
-    mesh_shape=(4, 1),
+    mesh_shape=(dp, tp),
     distributed=True, coordinator_address=f"127.0.0.1:{port}",
     num_processes=2, process_id=proc_id)
 results = run_training(args)
@@ -49,7 +50,10 @@ print("RESULTS " + json.dumps(
 """
 
 
-def test_two_process_training(tmp_path):
+@pytest.mark.parametrize("mesh", ["4,1", "2,2"], ids=["dp4", "dp2xtp2"])
+def test_two_process_training(tmp_path, mesh):
+    """dp-only and dp x tp: the tp axis spans BOTH processes, so TP param
+    shards and activation collectives ride the (simulated) DCN."""
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     with socket.socket() as s:
@@ -60,7 +64,7 @@ def test_two_process_training(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(rank), str(port),
-         str(tmp_path / "ckpt"), str(tmp_path / "log")],
+         str(tmp_path / "ckpt"), str(tmp_path / "log"), mesh],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd="/root/repo") for rank in (0, 1)]
     outs = []
