@@ -60,6 +60,26 @@ def test_run_training_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "default_0", "ckpt"))
 
 
+def test_cli_test_flag_with_resume(tmp_path):
+    """--test: evaluate-only with a resumed checkpoint (the reference's
+    test path crashes on an undefined epoch + missing generate, Q5;
+    ours runs the greedy-decode eval and returns the metric set)."""
+    common = dict(
+        model_name_or_path="opt-tiny", context="section_only",
+        neighbor_mode="raw", max_input_length=32, max_output_length=16,
+        per_device_train_batch_size=2, per_device_val_batch_size=2,
+        epochs=1, steps_per_epoch=2, val_steps_per_epoch=1,
+        grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+        lr_warmup_steps=2, log_dir=str(tmp_path), use_pallas=False, seed=0,
+        dataloader_num_workers=1, prefetch_batches=2)
+    run_training(Arguments(wandb_run="trainrun", **common))
+
+    results = run_training(Arguments(wandb_run="testrun", test=True,
+                                     resume="trainrun_0", **common))
+    for key in ("loss", "bleu4", "cider"):
+        assert key in results and np.isfinite(results[key]), key
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
