@@ -115,6 +115,13 @@ class Arguments:
             # (run_generation.py:304-305); we reproduce that documented
             # behavior — fp16 trains fp32 unless bf16 is also requested.
             self.compute_dtype = "float32"
+        if self.neighbor_mode == "cross_attention":
+            # SURVEY Q3: the reference's MPT gate wants
+            # neighbor_mode=="cross_attention" but its dataset only emits
+            # neighbor tensors for "embedding" (and the README documents
+            # only raw|embedding). Both names mean the same batches here;
+            # normalize so the assembler builds neighbor tensors either way.
+            self.neighbor_mode = "embedding"
 
 
 _BOOL_FIELDS = {

@@ -169,3 +169,11 @@ def test_resume_continues_trajectory(tmp_path):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         expected, state2.params)
+
+
+def test_cross_attention_mode_alias():
+    """Q3: --neighbor_mode cross_attention (the reference's MPT gate) must
+    mean embedding-style neighbor batches, not silently fall back to raw."""
+    args = Arguments(model_name_or_path="mpt-tiny",
+                     neighbor_mode="cross_attention")
+    assert args.neighbor_mode == "embedding"
