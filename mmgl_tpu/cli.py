@@ -217,7 +217,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     pad_id = tokenizer.pad_token_id
     train_step = jax.jit(make_train_step(
         model, tx, fcfg.decoder_only, args.max_input_length, pad_id,
-        grad_accumulation_steps=accum), donate_argnums=(0,))
+        grad_accumulation_steps=accum, trainable_mask=mask),
+        donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(
         model, fcfg.decoder_only, args.max_input_length, pad_id))
     generate_fn = jax.jit(partial(greedy_generate, model,

@@ -8,8 +8,11 @@ Gradient clipping: the reference's is effectively disabled (fires only when
 grad_clip > 2, AFTER the step — SURVEY Q7); we implement the intended
 clip-by-global-norm before the update.
 
-PEFT/freezing is an optax.multi_transform over the trainable mask
-(peft/masks.py) — frozen leaves get set_to_zero, so tower params never move.
+PEFT/freezing is an optax.masked pair over the trainable mask
+(peft/masks.py): the real optimizer state exists ONLY for trainable leaves
+(multi_transform would allocate Adam moments for the whole tree — 2x full
+model memory wasted when only adapters train), and frozen leaves get
+set_to_zero so tower params never move.
 """
 
 from __future__ import annotations
@@ -49,8 +52,8 @@ def build_optimizer(args: Arguments, trainable_mask=None) -> optax.GradientTrans
     if args.grad_clip and args.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
     if trainable_mask is not None:
-        labels = jax.tree_util.tree_map(
-            lambda t: "train" if t else "freeze", trainable_mask)
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+        inverse = jax.tree_util.tree_map(lambda t: not t, trainable_mask)
+        tx = optax.chain(
+            optax.masked(tx, trainable_mask),
+            optax.masked(optax.set_to_zero(), inverse))
     return tx

@@ -54,14 +54,28 @@ def make_loss_fn(model, decoder_only: bool, max_input_length: int,
 
 def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
                     pad_token_id: int,
-                    grad_accumulation_steps: int = 1) -> Callable:
+                    grad_accumulation_steps: int = 1,
+                    trainable_mask=None) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics).
 
     With accumulation > 1 the batch leaves must be shaped
     (accum, micro_batch, ...); gradients average over microbatches via scan.
+
+    trainable_mask (optional bool pytree): grad_norm is then computed over
+    trainable leaves ONLY. Beyond monitoring what actually updates, this
+    lets XLA dead-code-eliminate the frozen-parameter gradient outputs —
+    for PEFT configs (flamingo/LoRA on multi-billion-param bases) that is
+    the difference between fitting in HBM and not.
     """
     loss_fn = make_loss_fn(model, decoder_only, max_input_length, pad_token_id)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _norm(grads):
+        if trainable_mask is None:
+            return optax.global_norm(grads)
+        kept = jax.tree_util.tree_map(
+            lambda g, t: g if t else None, grads, trainable_mask)
+        return optax.global_norm(kept)
 
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         if grad_accumulation_steps > 1:
@@ -89,7 +103,7 @@ def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = _norm(grads)
         return new_state, metrics
 
     return step
