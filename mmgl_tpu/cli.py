@@ -165,6 +165,11 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
     mask = trainable_mask(params, args.peft_type, args.freeze_lm)
     counts = count_params(params, mask)
+    if is_main:
+        # full per-module table like run_generation.py:310-315
+        from mmgl_tpu.utils.meters import get_params_count_str
+
+        print(get_params_count_str(params, mask))
     print(f"Total params: {counts['total']:,} | trainable: "
           f"{counts['trainable']:,} | non-trainable: "
           f"{counts['non_trainable']:,}")
@@ -269,13 +274,17 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             jax.profiler.start_trace(args.profile_dir)
         it = iter(train_loader)
         spec = P(None, "data") if accum > 1 else None
+        data_pass = [0]
 
         def next_sharded(u):
             nonlocal it
             try:
                 batch = next(it)
             except StopIteration:
-                train_loader.set_epoch(epoch * 1000 + u)  # new pass
+                # deterministic (epoch, pass) reshuffle — identical on every
+                # process, preserving shard disjointness mid-epoch
+                data_pass[0] += 1
+                train_loader.set_epoch(epoch, data_pass[0])
                 it = iter(train_loader)
                 batch = next(it)
             with mesh:
@@ -383,6 +392,12 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
         # cross-host gather of ids before decode (run_generation.py:608-617)
         generated = gather_tokens(generated)
         labels = gather_tokens(labels)
+        # invariant: one prediction per gathered reference row — catches
+        # model-axis replica duplication in the gather, which would
+        # misalign the pred/ref zip and silently corrupt every metric
+        assert generated.shape[0] == labels.shape[0], (
+            f"gathered preds ({generated.shape[0]}) != refs "
+            f"({labels.shape[0]}) — replica-duplicated gather?")
         preds = tokenizer.batch_decode(np.asarray(generated),
                                        skip_special_tokens=True)
         labels = np.where(labels == -100, tokenizer.pad_token_id, labels)
@@ -432,6 +447,7 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
 
     return {"loss": losses.avg, "bleu1": bleus[0], "bleu2": bleus[1],
             "bleu3": bleus[2], "bleu4": bleus[3], "cider": cider,
+            "n_eval_pairs": float(len(all_preds)),
             **{k: v for k, v in rouges.items()}}
 
 

@@ -31,18 +31,34 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
         self.epoch = 0
+        self.pass_idx = 0
 
-    def set_epoch(self, epoch: int):
-        """Reshuffle per epoch (DistributedSampler.set_epoch parity)."""
+    def set_epoch(self, epoch: int, pass_idx: int = 0):
+        """Reshuffle per epoch (DistributedSampler.set_epoch parity).
+
+        pass_idx distinguishes repeated passes over the data inside one
+        epoch (steps_per_epoch > one pass): the shuffle is a deterministic
+        function of (seed, epoch, pass_idx), identical on every process, so
+        shard disjointness survives mid-epoch reshuffles.
+        """
         self.epoch = epoch
+        self.pass_idx = pass_idx
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
+            rng = np.random.RandomState(
+                (self.seed + self.epoch * 1_000_003 + self.pass_idx)
+                % (2**32))
             rng.shuffle(idx)
-        # contiguous per-shard strided split, like DistributedSampler
+        # equalize shard lengths BEFORE striding (DistributedSampler
+        # truncates to floor(n/S)*S): otherwise shard 0 can get one extra
+        # sample and, after per-shard drop_last, a different batch count —
+        # which deadlocks the per-batch gather_tokens collective in
+        # multi-host eval and desyncs the StopIteration-triggered reshuffle
+        usable_n = (n // self.num_shards) * self.num_shards
+        idx = idx[:usable_n]
         idx = idx[self.shard_id::self.num_shards]
         if self.drop_last:
             usable = (len(idx) // self.batch_size) * self.batch_size

@@ -81,6 +81,15 @@ class CachedNeighborDataset:
         cfg = model.config
         h.update(repr(cfg.text).encode())
         h.update(repr(cfg.vision).encode())
+        # neighbor-shape knobs (max_text/image_neighbors, neighbor seq len,
+        # image size) change the pooled-array shapes with the same split and
+        # towers — probe one assembled sample so a knob change misses the
+        # warm cache instead of serving wrong-shaped arrays
+        if len(self.dataset):
+            probe = self.dataset[0]
+            shapes = sorted((k, tuple(np.shape(v)))
+                            for k, v in probe.items())
+            h.update(repr(shapes).encode())
         # tower WEIGHTS matter (pretrained vs random init): checksum a leaf
         params = variables.get("params", variables)
         for tower in ("text_model", "visual_model"):

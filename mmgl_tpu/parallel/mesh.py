@@ -127,18 +127,24 @@ def gather_tokens(x) -> np.ndarray:
     """Gather a (possibly batch-sharded, multi-host) array onto every host.
 
     Counterpart of the reference's eval all_gather of generated/label ids
-    (run_generation.py:608-617). Single-process: plain fetch. Multi-process:
-    concatenate this host's addressable shards in index order, then
-    process_allgather across hosts (tiled along the batch axis).
+    (run_generation.py:608-617). Single-process: plain fetch. Multi-process
+    jax.Array: reshard to fully-replicated with a jitted identity (XLA
+    all-gathers exactly the distinct shards, so model-axis replicas of the
+    same batch rows are NOT duplicated — naive per-device shard
+    concatenation would double rows on a dp x tp mesh and misalign the
+    pred/ref zip downstream). Host numpy (e.g. labels local to this
+    process's loader shard): process_allgather, tiled along the batch axis.
     """
     if jax.process_count() == 1:
         return np.asarray(x)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        sharding = x.sharding
+        assert isinstance(sharding, NamedSharding), sharding
+        replicate = jax.jit(
+            lambda a: a, out_shardings=NamedSharding(sharding.mesh, P()))
+        return np.asarray(jax.device_get(replicate(x)))
     from jax.experimental import multihost_utils
 
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        x = np.concatenate([np.asarray(s.data) for s in shards])
     return np.asarray(
         multihost_utils.process_allgather(np.asarray(x), tiled=True))
 

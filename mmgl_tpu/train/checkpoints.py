@@ -27,11 +27,14 @@ def save_checkpoint(path: str, state, epoch: int, best_acc1: float,
                     keep_towers: bool = False):
     path = os.path.abspath(path)
     params = state.params if keep_towers else _strip_towers(state.params)
+    # leave leaves as (possibly sharded, multi-host) jax.Arrays — orbax
+    # writes them collectively; materializing with np.asarray would raise
+    # on model-sharded leaves that span processes (e.g. --mesh_shape 1,N)
     payload = {
         "epoch": np.asarray(epoch),
         "best_acc1": np.asarray(best_acc1, np.float32),
-        "params": jax.tree_util.tree_map(np.asarray, params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+        "params": params,
+        "opt_state": state.opt_state,
         "step": np.asarray(state.step),
     }
     ckptr = ocp.PyTreeCheckpointer()
@@ -56,12 +59,17 @@ def restore_checkpoint(path: str, state=None,
     if state is None:
         return ckptr.restore(path)
     params = state.params if keep_towers else _strip_towers(state.params)
+    # abstract template: structure + dtype without materializing values, so
+    # non-fully-addressable (model-sharded, multi-host) leaves don't raise
+    abstract = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                       if np.ndim(x) == 0 else x.dtype), t)
     template = {
         "epoch": np.asarray(0),
         "best_acc1": np.asarray(0.0, np.float32),
-        "params": jax.tree_util.tree_map(np.asarray, params),
-        "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
-        "step": np.asarray(state.step),
+        "params": abstract(params),
+        "opt_state": abstract(state.opt_state),
+        "step": np.asarray(0),
     }
     return ckptr.restore(path, item=template)
 

@@ -97,6 +97,53 @@ def import_opt(sd: Dict[str, np.ndarray], tie_word_embeddings: bool = True,
     return params
 
 
+def import_mpt(sd: Dict[str, np.ndarray],
+               tie_word_embeddings: bool = True) -> dict:
+    """Reference MPTForCausalLM state dict -> our cross-attention OPT params.
+
+    Maps the full MPT tree — base decoder PLUS the interleaved neighbor
+    cross-attention layers and their flamingo gate scalars
+    (modelling_cross_attention.py:298-302,437-442) — so the torch reference
+    model's exact weights can run through our flax path (parity testing).
+    """
+    base = {k: v for k, v in sd.items() if ".neighbor_layers." not in k}
+    params = import_opt(base, tie_word_embeddings=tie_word_embeddings)
+
+    pre = "model.decoder.neighbor_layers."
+    if not any(k.startswith(pre) for k in sd):
+        pre = "decoder.neighbor_layers."
+    idxs = sorted({int(k[len(pre):].split(".")[0])
+                   for k in sd if k.startswith(pre)})
+
+    def linear(src, dst, nested_dense=False):
+        tail = "/dense" if nested_dense else ""
+        _set(params, f"{dst}{tail}/kernel", sd[f"{src}.weight"].T)
+        if f"{src}.bias" in sd:
+            _set(params, f"{dst}{tail}/bias", sd[f"{src}.bias"])
+
+    def layer_norm(src, dst):
+        _set(params, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(params, f"{dst}/bias", sd[f"{src}.bias"])
+
+    for i in idxs:
+        src = f"{pre}{i}"
+        dst = f"decoder/neighbor_layers_{i}"
+        linear(f"{src}.self_attn.q_proj", f"{dst}/self_attn/q_proj",
+               nested_dense=True)
+        linear(f"{src}.self_attn.v_proj", f"{dst}/self_attn/v_proj",
+               nested_dense=True)
+        linear(f"{src}.self_attn.k_proj", f"{dst}/self_attn/k_proj")
+        linear(f"{src}.self_attn.out_proj", f"{dst}/self_attn/out_proj")
+        layer_norm(f"{src}.self_attn_layer_norm", f"{dst}/self_attn_layer_norm")
+        layer_norm(f"{src}.final_layer_norm", f"{dst}/final_layer_norm")
+        linear(f"{src}.fc1", f"{dst}/fc1")
+        linear(f"{src}.fc2", f"{dst}/fc2")
+        if f"{src}.gating1" in sd:
+            _set(params, f"{dst}/gating1", sd[f"{src}.gating1"])
+            _set(params, f"{dst}/gating2", sd[f"{src}.gating2"])
+    return params
+
+
 def import_opt_into_mpt(sd: Dict[str, np.ndarray], mpt_params: dict,
                         tie_word_embeddings: bool = True) -> dict:
     """Initialize MPT (OPT + cross-attn layers) from pretrained OPT weights.

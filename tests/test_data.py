@@ -142,3 +142,58 @@ def test_loader_determinism_and_sharding():
     n0, n1 = len(s0), len(s1)
     assert n0 + n1 <= len(ds)
     assert abs(n0 - n1) <= 1
+
+
+class _IdxDataset:
+    """Samples carry their own index so shard contents are inspectable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.asarray([i])}
+
+
+def _shard_indices(loader):
+    return [int(v) for b in loader for v in b["idx"].ravel()]
+
+
+def test_loader_equal_shard_lengths_when_uneven():
+    """n % num_shards != 0: every shard must get the same batch count
+    (DistributedSampler truncation) or multi-host per-batch collectives
+    deadlock. n=7, 2 shards, bs=2 -> 1 batch each, NOT 2 vs 1."""
+    ds = _IdxDataset(7)
+    s0 = PrefetchLoader(ds, batch_size=2, shard_id=0, num_shards=2)
+    s1 = PrefetchLoader(ds, batch_size=2, shard_id=1, num_shards=2)
+    assert len(s0) == len(s1) == 1
+    i0, i1 = _shard_indices(s0), _shard_indices(s1)
+    assert len(i0) == len(i1) == 2
+    assert set(i0).isdisjoint(i1)
+
+
+def test_loader_multipass_epoch_determinism():
+    """Mid-epoch reshuffles derive from (seed, epoch, pass) — identical on
+    every process and distinct across passes (fixes the epoch*1000+u
+    re-seed hazard)."""
+    ds = _IdxDataset(12)
+
+    def run(shard):
+        out = []
+        ld = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=7,
+                            shard_id=shard, num_shards=2)
+        for pass_idx in range(3):
+            ld.set_epoch(4, pass_idx)
+            out.append(_shard_indices(ld))
+        return out
+
+    a, b = run(0), run(1)
+    for pass_idx in range(3):
+        # shard disjointness holds on every pass
+        assert set(a[pass_idx]).isdisjoint(b[pass_idx])
+    # passes reshuffle (not a repeat of the same order)
+    assert a[0] != a[1] or a[1] != a[2]
+    # and the whole schedule is reproducible
+    assert run(0) == a and run(1) == b

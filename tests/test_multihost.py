@@ -84,5 +84,11 @@ def test_two_process_training(tmp_path, mesh):
         assert np.isfinite(results[0][key])
         np.testing.assert_allclose(results[0][key], results[1][key],
                                    rtol=1e-6, err_msg=key)
+    # coverage: the gathered prediction set covers each eval sample exactly
+    # once — a replica-duplicated gather (dp x tp) would double this count
+    dp = int(mesh.split(",")[0])
+    expected_pairs = dp * 1  # per_device_val_bs=1 x dp, val_steps=1
+    for r in results:
+        assert r["n_eval_pairs"] == expected_pairs, r
     # rank-0-only artifacts
     assert os.path.exists(tmp_path / "ckpt")

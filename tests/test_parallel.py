@@ -44,3 +44,83 @@ def test_param_shardings_tp_rules_and_guards():
     assert tuple(sh["out_proj"]["kernel"].spec) == ("model", None)
     assert tuple(sh["fc1"]["kernel"].spec) == ()      # indivisible: guarded
     assert tuple(sh["ln"]["scale"].spec) == ()        # no rule: replicated
+
+
+def _tp_setup(peft):
+    """Tiny OPT + fixed batch for numerical TP-equivalence checks."""
+    from mmgl_tpu.config import Arguments
+    from mmgl_tpu.models.factory import build_model
+    from mmgl_tpu.peft import trainable_mask
+    from mmgl_tpu.train.optim import build_optimizer
+    from mmgl_tpu.train.steps import create_train_state, make_train_step
+
+    s_in, s_out = 16, 8
+    args = Arguments(model_name_or_path="opt-tiny", context="section_only",
+                     neighbor_mode="raw", peft_type=peft,
+                     max_input_length=s_in, max_output_length=s_out,
+                     use_pallas=False, learning_rate=1e-3, lr_warmup_steps=2)
+    model, cfg = build_model(args, vocab_size=64)
+    t = s_in + s_out
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(4, 64, (4, t)).astype(np.int32),
+        "attention_mask": np.ones((4, t), np.int32),
+        "labels": rng.randint(4, 64, (4, t)).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = trainable_mask(variables["params"], peft, args.freeze_lm)
+    tx = build_optimizer(args, mask)
+    train = make_train_step(model, tx, cfg.decoder_only, s_in, 0,
+                            trainable_mask=mask)
+
+    def evalf(params, b):
+        out = model.apply({"params": params}, b, deterministic=True)
+        return {"logits": out["logits"]}
+
+    return dict(variables["params"]), tx, batch, train, evalf
+
+
+def _tp_run(params, tx, batch, train, evalf, mesh_shape):
+    """One train step + one eval forward on the given mesh; everything
+    fetched to host for cross-topology comparison."""
+    from mmgl_tpu.parallel import shard_batch, shard_params
+    from mmgl_tpu.train.steps import create_train_state
+
+    mesh = make_mesh(mesh_shape)
+    with mesh:
+        sp = shard_params(params, mesh)
+        state = create_train_state(sp, tx)
+        sb = shard_batch(batch, mesh)
+        state, metrics = jax.jit(train)(state, sb, jax.random.PRNGKey(0))
+        out = jax.jit(evalf)(state.params, sb)
+    return (float(metrics["loss"]), float(metrics["grad_norm"]),
+            np.asarray(out["logits"]))
+
+
+def test_tp_numerical_equivalence():
+    """tp=1 vs tp=2 vs dp2 x tp2 on identical params/batch: logits, loss and
+    grad-norm must agree — a wrong row/column rule in _TP_RULES would pass
+    the isfinite-only sharded test but fail here. The lora variant covers
+    the lora_b column rule (mesh.py)."""
+    import pytest
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    from mmgl_tpu.train.steps import create_train_state
+
+    for peft in ("none", "lora"):
+        params, tx, batch, train, evalf = _tp_setup(peft)
+        # unsharded single-device truth
+        state = create_train_state(params, tx)
+        state, metrics = jax.jit(train)(state, batch, jax.random.PRNGKey(0))
+        out = jax.jit(evalf)(state.params, batch)
+        base = (float(metrics["loss"]), float(metrics["grad_norm"]),
+                np.asarray(out["logits"]))
+        for shape in ((4, 1), (1, 2), (2, 2)):
+            got = _tp_run(params, tx, batch, train, evalf, shape)
+            np.testing.assert_allclose(got[0], base[0], rtol=1e-5,
+                                       err_msg=f"loss {peft} {shape}")
+            np.testing.assert_allclose(got[1], base[1], rtol=1e-4,
+                                       err_msg=f"grad_norm {peft} {shape}")
+            np.testing.assert_allclose(got[2], base[2], rtol=2e-4, atol=2e-4,
+                                       err_msg=f"logits {peft} {shape}")
