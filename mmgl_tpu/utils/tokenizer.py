@@ -124,11 +124,18 @@ class HFTokenizerAdapter:
 
 
 def get_tokenizer(path: Optional[str] = None):
-    """Local HF tokenizer if a path is given, else the byte tokenizer."""
+    """Local HF tokenizer if a path is given, else the byte tokenizer.
+
+    Fast tokenizers are preferred (a dir shipping only tokenizer.json has no
+    slow class to fall back to); the reference's AutoTokenizer default is
+    also fast (run_generation.py:289-300)."""
     if path is None:
         return ByteTokenizer()
     from transformers import AutoTokenizer
 
-    return HFTokenizerAdapter(
-        AutoTokenizer.from_pretrained(path, use_fast=False, local_files_only=True)
-    )
+    try:
+        tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+    except Exception:
+        tok = AutoTokenizer.from_pretrained(path, use_fast=False,
+                                            local_files_only=True)
+    return HFTokenizerAdapter(tok)

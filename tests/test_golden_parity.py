@@ -159,7 +159,7 @@ def _ref_args(context, decoder_only, neighbor_mode):
 
 
 def _our_assembler(context, decoder_only, neighbor_mode, store,
-                   image_provider=None):
+                   image_provider=None, tokenizer=None):
     from mmgl_tpu.data.assemble import AssemblerConfig, WikiWeb2MAssembler
     from mmgl_tpu.data.assemble import no_images
     from mmgl_tpu.utils.tokenizer import ByteTokenizer
@@ -169,14 +169,16 @@ def _our_assembler(context, decoder_only, neighbor_mode, store,
         decoder_only=decoder_only, max_input_length=64, max_output_length=24,
         max_text_neighbors=5, max_image_neighbors=3, n_text_tokens=4,
         n_visual_tokens=4, image_size=224)
-    return WikiWeb2MAssembler(cfg, store, ID_LIST, ByteTokenizer(),
+    return WikiWeb2MAssembler(cfg, store, ID_LIST,
+                              tokenizer or ByteTokenizer(),
                               image_provider or no_images)
 
 
-def _ref_dataset(context, decoder_only, neighbor_mode, df, extractor=None):
+def _ref_dataset(context, decoder_only, neighbor_mode, df, extractor=None,
+                 tokenizer=None):
     WikiWeb2M = _load_reference()
     args = _ref_args(context, decoder_only, neighbor_mode)
-    return WikiWeb2M(args, df, ID_LIST, TorchByteTokenizer(),
+    return WikiWeb2M(args, df, ID_LIST, tokenizer or TorchByteTokenizer(),
                      visual_feature_extractor_model=extractor)
 
 
