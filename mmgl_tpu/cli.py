@@ -361,34 +361,66 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     return results
 
 
+def _score_corpus(all_preds, all_refs, parallel: bool = True):
+    """BLEU-1..4 + ROUGE + CIDEr over the gathered corpus.
+
+    The three metric families are independent pure-python/numpy work
+    (~11 s serial at 10K sections); run them in separate processes so the
+    wall-clock is the slowest family, not the sum. Falls back to inline on
+    any pool failure (e.g. daemonized test processes)."""
+    if parallel and len(all_preds) >= 2048:
+        try:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=3) as pool:
+                fb = pool.submit(_score_bleus, all_preds, all_refs)
+                fr = pool.submit(_score_rouges, all_preds, all_refs)
+                fc = pool.submit(_score_cider, all_preds, all_refs)
+                return fb.result(), fr.result(), fc.result()
+        except Exception as e:
+            print(f"[eval] metric process pool unavailable ({e}); "
+                  f"scoring inline")
+    return (_score_bleus(all_preds, all_refs),
+            _score_rouges(all_preds, all_refs),
+            _score_cider(all_preds, all_refs))
+
+
+# module-level so ProcessPoolExecutor can pickle them
+def _score_bleus(preds, refs):
+    return [bleu_score(preds, refs, n_gram=n) for n in (1, 2, 3, 4)]
+
+
+def _score_rouges(preds, refs):
+    return rouge_score(preds, refs)
+
+
+def _score_cider(preds, refs):
+    cands = {i: [p] for i, p in enumerate(preds)}
+    rdict = {i: r for i, r in enumerate(refs)}
+    return Cider().compute_score(rdict, cands)[0]
+
+
 def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
                   args: Arguments, fcfg, mesh, epoch: int, log,
                   prefix: str = "val") -> Dict[str, float]:
-    """Counterpart of run_generation.py:527-703."""
+    """Counterpart of run_generation.py:527-703.
+
+    Pipelined: batch i+1's device compute is dispatched BEFORE batch i's
+    outputs are fetched/decoded, so host-side gather + detokenization
+    overlaps device eval instead of serializing with it (the reference
+    syncs on .item()/decode every batch, run_generation.py:580-630). Loss
+    scalars stay on device until the end."""
     losses = AverageMeter("Loss", ":.4e")
     # forward wall-clock, the reference's total_secs_captioning
-    # (run_generation.py:509-512); loss fetch inside the window forces
-    # real execution (async dispatch)
+    # (run_generation.py:509-512)
     forward_time = AverageMeter("Forward", ":6.3f")
     all_preds, all_refs = [], []
+    pending_losses = []
     steps = 0
     variables = {"params": state.params}
-    for batch in loader:
-        fwd_start = time.time()
-        with mesh:
-            sharded = shard_batch(batch, mesh)
-            out = eval_step(state.params, sharded)
-            if prefix == "test":
-                generated = generate_fn(variables, sharded)
-            else:
-                generated = out["predictions"]
-        losses.update(float(out["loss"]), batch["input_ids"].shape[0])
-        forward_time.update(time.time() - fwd_start)
 
-        if fcfg.decoder_only:
-            labels = batch["labels"][:, args.max_input_length + 1:]
-        else:
-            labels = batch["labels"]
+    def process(item):
+        generated, labels = item
         # cross-host gather of ids before decode (run_generation.py:608-617)
         generated = gather_tokens(generated)
         labels = gather_tokens(labels)
@@ -405,9 +437,34 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
         for p, r in zip(preds, refs):
             all_preds.append(first_period_truncate(p))
             all_refs.append([r])
+
+    pending = None
+    fwd_start = time.time()
+    for batch in loader:
+        with mesh:
+            sharded = shard_batch(batch, mesh)
+            out = eval_step(state.params, sharded)
+            if prefix == "test":
+                generated = generate_fn(variables, sharded)
+            else:
+                generated = out["predictions"]
+        pending_losses.append((out["loss"], batch["input_ids"].shape[0]))
+        if fcfg.decoder_only:
+            labels = batch["labels"][:, args.max_input_length + 1:]
+        else:
+            labels = batch["labels"]
+        # process the PREVIOUS batch's outputs while the device runs this one
+        if pending is not None:
+            process(pending)
+        pending = (generated, labels)
         steps += 1
         if steps >= args.val_steps_per_epoch:
             break
+    if pending is not None:
+        process(pending)
+    for loss_dev, bs in pending_losses:
+        losses.update(float(loss_dev), bs)
+    forward_time.update((time.time() - fwd_start) / max(1, steps), steps)
 
     if not all_preds:
         raise RuntimeError(
@@ -422,11 +479,7 @@ def evaluate_loop(loader, model, state, eval_step, generate_fn, tokenizer,
         print(f"{i}) {cap}")
     print("=" * 30)
 
-    bleus = [bleu_score(all_preds, all_refs, n_gram=n) for n in (1, 2, 3, 4)]
-    rouges = rouge_score(all_preds, all_refs)
-    cands = {i: [p] for i, p in enumerate(all_preds)}
-    refs = {i: r for i, r in enumerate(all_refs)}
-    cider, _ = Cider().compute_score(refs, cands)
+    bleus, rouges, cider = _score_corpus(all_preds, all_refs)
 
     print("BLEU", *bleus)
     print("ROUGE", rouges["rouge1_fmeasure"], rouges["rouge2_fmeasure"],

@@ -8,9 +8,11 @@ run_generation.py:384-428,527-703) and require BLEU-4 / CIDEr well above
 chance. Covers all three model families: OPT (dec-only raw), T5 (enc-dec
 raw), MPT (cross-attention over embedding-mode neighbors).
 
-Thresholds are ~half the calibrated scores (opt 0.50/4.5, t5 0.32/3.4,
-mpt 0.50/4.5 at 300-400 steps) — far above the 0.000 an untrained or
-mis-wired model produces.
+Thresholds sit at ~80% of the calibrated scores (opt 0.50/4.5, t5
+0.22/2.2, mpt 0.50/4.5 at 300-400 steps, fixed seeds; t5 recalibrated r3) — tight enough that a
+real regression in any stage of the chain trips them, with ~20% headroom
+for cross-platform float drift. Trajectory-level parity with the reference
+stack is separately locked by tests/test_trajectory_parity.py.
 """
 
 from functools import partial
@@ -82,9 +84,9 @@ def _overfit_and_score(model_name, neighbor_mode, context, steps, lr):
 @pytest.mark.parametrize(
     "model_name,neighbor_mode,context,steps,min_bleu4,min_cider",
     [
-        ("opt-tiny", "raw", "section_only", 300, 0.2, 2.0),
-        ("t5-tiny", "raw", "section_only", 400, 0.15, 1.5),
-        ("mpt-tiny", "embedding", "section_all", 300, 0.2, 2.0),
+        ("opt-tiny", "raw", "section_only", 300, 0.40, 3.6),
+        ("t5-tiny", "raw", "section_only", 400, 0.17, 1.75),
+        ("mpt-tiny", "embedding", "section_all", 300, 0.40, 3.6),
     ],
     ids=["opt-decoder-only", "t5-encdec", "mpt-cross-attn"])
 def test_quality_gate(model_name, neighbor_mode, context, steps,
