@@ -43,8 +43,13 @@ def lr_schedule(args: Arguments):
 
 def build_optimizer(args: Arguments, trainable_mask=None) -> optax.GradientTransformation:
     if args.model_name_or_path and "t5" in args.model_name_or_path:
+        # min_dim_size_to_factor=2: HF/transformers Adafactor (the
+        # reference's optimizer) factors EVERY >=2D tensor; optax's default
+        # (128) would keep small matrices unfactored and diverge from the
+        # reference trajectory (test_trajectory_parity.py locks this)
         tx = optax.adafactor(learning_rate=args.learning_rate,
-                             multiply_by_parameter_scale=False)
+                             multiply_by_parameter_scale=False,
+                             min_dim_size_to_factor=2)
     else:
         tx = optax.adamw(learning_rate=lr_schedule(args),
                          b1=args.adam_beta1, b2=args.adam_beta2,

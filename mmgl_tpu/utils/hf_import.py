@@ -40,7 +40,12 @@ def _set(tree: dict, path: str, value: np.ndarray):
 
 
 def torch_state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
-    return {k: np.asarray(v.detach().cpu().float().numpy()) for k, v in sd.items()}
+    # np.array (copy), NOT np.asarray: .float() is a no-op on fp32 tensors,
+    # so .numpy() would SHARE memory with the live torch parameters — any
+    # later in-place torch update (optimizer.step()) would silently mutate
+    # the "imported" weights
+    return {k: np.array(v.detach().cpu().float().numpy())
+            for k, v in sd.items()}
 
 
 # ---------------------------------------------------------------------------

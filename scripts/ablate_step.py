@@ -83,6 +83,15 @@ def main():
         dt = (tb - ta) / (args.n2 - args.n1)
         return dt if dt > 0 else tb / args.n2
 
+    def rung(name, fn, *a):
+        dt = timeit(fn, *a)
+        results[name] = dt
+        print(f"[rung] {name:22s} {dt * 1e3:8.2f} ms", flush=True)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+
     def _drain(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf).astype(jnp.float32)
@@ -100,7 +109,8 @@ def main():
         st, m = step(st, st_b, key)
         return m["loss"]
 
-    results["full_step"] = timeit(full, batch)
+    rung("full_step", full, batch)
+    del step
 
     # 2. fwd+bwd only (no optimizer update)
     def loss_fn(p, b_):
@@ -110,24 +120,25 @@ def main():
         return loss
 
     grad = jax.jit(jax.value_and_grad(loss_fn))
-    results["fwd_bwd"] = timeit(lambda b_: grad(state.params, b_)[0], batch)
+    rung("fwd_bwd", lambda b_: grad(state.params, b_)[0], batch)
+    del grad
 
     # 3. forward only (with CE loss)
     fwd = jax.jit(loss_fn)
-    results["fwd_ce"] = timeit(fwd, state.params, batch)
+    rung("fwd_ce", fwd, state.params, batch)
+    del fwd
 
     # 4. forward without CE (mean of logits — kills the vocab softmax)
     def fwd_nologit(p, b_):
         out = model.apply({"params": p}, b_, deterministic=True)
         return jnp.mean(out["logits"].astype(jnp.float32))
 
-    results["fwd_nologitce"] = timeit(jax.jit(fwd_nologit), state.params,
-                                      batch)
+    rung("fwd_nologitce", jax.jit(fwd_nologit), state.params, batch)
 
     # 5. fwd+bwd without CE
     gn = jax.jit(jax.value_and_grad(fwd_nologit))
-    results["fwd_bwd_nologitce"] = timeit(
-        lambda b_: gn(state.params, b_)[0], batch)
+    rung("fwd_bwd_nologitce", lambda b_: gn(state.params, b_)[0], batch)
+    del gn
 
     # 6. fwd+bwd with XLA attention instead of Pallas
     import mmgl_tpu.ops as ops
@@ -142,8 +153,8 @@ def main():
         return loss
 
     gx = jax.jit(jax.value_and_grad(loss_x))
-    results["fwd_bwd_xla_attn"] = timeit(
-        lambda b_: gx(state.params, b_)[0], batch)
+    rung("fwd_bwd_xla_attn", lambda b_: gx(state.params, b_)[0], batch)
+    del gx
 
     # 7. optimizer update alone (adamw over the full tree)
     def opt_only(st_):
@@ -151,7 +162,7 @@ def main():
         updates, opt_state = tx.update(grads, st_.opt_state, st_.params)
         return optax.apply_updates(st_.params, updates)
 
-    results["adamw_update"] = timeit(jax.jit(opt_only), state)
+    rung("adamw_update", jax.jit(opt_only), state)
 
     print("\n=== step decomposition (ms) ===")
     for k, v in results.items():

@@ -118,10 +118,10 @@ def test_training_trajectory_matches_reference():
     assert ours[-1] < ours[0] - 0.05 and theirs[-1] < theirs[0] - 0.05, (
         ours[0], ours[-1], theirs[0], theirs[-1])
     # early steps: tight agreement; later: bounded fp32 drift
-    np.testing.assert_allclose(ours[:10], theirs[:10], rtol=1e-3)
+    np.testing.assert_allclose(ours[:10], theirs[:10], rtol=1e-4)
     rel = np.abs(ours - theirs) / theirs
-    assert rel.max() < 0.02, (rel.max(), rel.argmax())
-    assert rel.mean() < 0.005, rel.mean()
+    assert rel.max() < 0.005, (rel.max(), rel.argmax())
+    assert rel.mean() < 0.001, rel.mean()
 
     # end-state functional agreement: teacher-forced argmax predictions
     b = corpus[0]
@@ -139,7 +139,77 @@ def test_training_trajectory_matches_reference():
     valid = b["mask"].astype(bool)
     agree = (np.argmax(np.asarray(our_logits), -1) == np.argmax(
         ref_logits, -1))[valid].mean()
-    assert agree > 0.98, agree
+    assert agree > 0.995, agree
     print(f"\n[trajectory] loss[0] ours={ours[0]:.4f} ref={theirs[0]:.4f} | "
           f"loss[{N_STEPS - 1}] ours={ours[-1]:.4f} ref={theirs[-1]:.4f} | "
           f"max rel diff={rel.max():.4f} | argmax agreement={agree:.4f}")
+
+
+def test_t5_adafactor_trajectory_matches_reference():
+    """Second optimizer family: T5 + Adafactor (the reference's T5 recipe,
+    run_generation.py:321-324 — transformers Adafactor with
+    scale_parameter=False, relative_step=False, no scheduler) vs our
+    optax.adafactor(multiply_by_parameter_scale=False). Same imported
+    weights, same corpus, N steps; loss curves must agree."""
+    from transformers.optimization import Adafactor
+
+    from mmgl_tpu.train.losses import seq2seq_loss
+    from tests.test_t5_parity import _make_pair
+
+    hf, model, variables, cfg = _make_pair(seed=9)
+    hf.train()
+    args = Arguments(model_name_or_path="t5-tiny", learning_rate=1e-3,
+                     grad_clip=0.0)
+    opt = Adafactor(hf.parameters(), scale_parameter=False,
+                    relative_step=False, warmup_init=False,
+                    lr=args.learning_rate)
+    tx = build_optimizer(args, None)
+
+    rng = np.random.RandomState(42)
+    n_b = 4
+    corpus = []
+    for i in range(n_b):
+        ids = rng.randint(2, 111, size=(4, 9)).astype(np.int32)
+        mask = np.ones((4, 9), np.int32)
+        mask[0, 7:] = 0
+        ids[0, 7:] = 0
+        labels = rng.randint(2, 111, size=(4, 5)).astype(np.int32)
+        labels[1, 4:] = -100  # enc-dec ignore positions (data.py:284)
+        corpus.append({"ids": ids, "mask": mask, "labels": labels})
+
+    def loss_fn(params, b):
+        logits = model.apply({"params": params}, input_ids=b["ids"],
+                             attention_mask=b["mask"], labels=b["labels"])
+        return seq2seq_loss(logits, b["labels"])
+
+    @jax.jit
+    def step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    opt_state = tx.init(params)
+    ours, theirs = [], []
+    for i in range(80):
+        b = corpus[i % n_b]
+        out = hf(input_ids=torch.tensor(b["ids"].astype(np.int64)),
+                 attention_mask=torch.tensor(b["mask"].astype(np.int64)),
+                 labels=torch.tensor(b["labels"].astype(np.int64)))
+        opt.zero_grad()
+        out.loss.backward()
+        opt.step()
+        theirs.append(float(out.loss.detach()))
+        params, opt_state, loss = step(params, opt_state, b)
+        ours.append(float(loss))
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    assert ours[-1] < ours[0] - 0.2 and theirs[-1] < theirs[0] - 0.2
+    np.testing.assert_allclose(ours[:5], theirs[:5], rtol=2e-3)
+    rel = np.abs(ours - theirs) / theirs
+    assert rel.max() < 0.05, (rel.max(), rel.argmax())
+    print(f"\n[t5-adafactor] loss[0] ours={ours[0]:.4f} ref={theirs[0]:.4f}"
+          f" | loss[79] ours={ours[-1]:.4f} ref={theirs[-1]:.4f}"
+          f" | max rel diff={rel.max():.4f}")
