@@ -92,7 +92,8 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     from mmgl_tpu.models.factory import build_model
     from mmgl_tpu.peft import trainable_mask
     from mmgl_tpu.train.optim import build_optimizer
-    from mmgl_tpu.train.steps import create_train_state, make_train_step
+    from mmgl_tpu.train.steps import (create_train_state,
+                                      make_split_train_step)
 
     on_tpu = jax.default_backend() == "tpu"
     size = "tiny" if quick else size
@@ -148,9 +149,9 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
             cfg.vision.hidden_size)
 
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(
+    step = make_split_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
-        pad_token_id=1, grad_accumulation_steps=1), donate_argnums=(0,))
+        pad_token_id=1, grad_accumulation_steps=1)
     return step, state, batch_np, b, flops_section
 
 
@@ -337,7 +338,8 @@ def bench_pipeline(args):
     from mmgl_tpu.parallel import make_mesh, shard_batch
     from mmgl_tpu.peft import trainable_mask
     from mmgl_tpu.train.optim import build_optimizer
-    from mmgl_tpu.train.steps import create_train_state, make_train_step
+    from mmgl_tpu.train.steps import (create_train_state,
+                                      make_split_train_step)
     from mmgl_tpu.utils.tokenizer import ByteTokenizer
 
     on_tpu = jax.default_backend() == "tpu"
@@ -371,9 +373,9 @@ def bench_pipeline(args):
     mask = trainable_mask(params, margs.peft_type, margs.freeze_lm)
     tx = build_optimizer(margs, mask)
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(
+    step = make_split_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
-        pad_token_id=1, grad_accumulation_steps=1), donate_argnums=(0,))
+        pad_token_id=1, grad_accumulation_steps=1)
 
     loader = PrefetchLoader(cached, batch_size=b, shuffle=True, seed=0,
                             num_workers=8, prefetch=8)

@@ -36,7 +36,7 @@ from mmgl_tpu.train import checkpoints
 from mmgl_tpu.train.generate import greedy_generate
 from mmgl_tpu.train.optim import build_optimizer
 from mmgl_tpu.train.steps import (create_train_state, make_eval_step,
-                                  make_train_step)
+                                  make_split_train_step)
 from mmgl_tpu.utils import AverageMeter, ProgressMeter, get_tokenizer
 
 
@@ -220,10 +220,12 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
     accum = max(1, args.grad_accumulation_steps)
     pad_id = tokenizer.pad_token_id
-    train_step = jax.jit(make_train_step(
+    # split grad/update programs: ~30 ms/step faster than the monolithic
+    # fused program on v5e (make_split_train_step docstring); the input
+    # state is consumed (donated) exactly like donate_argnums=(0,)
+    train_step = make_split_train_step(
         model, tx, fcfg.decoder_only, args.max_input_length, pad_id,
-        grad_accumulation_steps=accum, trainable_mask=mask),
-        donate_argnums=(0,))
+        grad_accumulation_steps=accum, trainable_mask=mask)
     eval_step = jax.jit(make_eval_step(
         model, fcfg.decoder_only, args.max_input_length, pad_id))
     generate_fn = jax.jit(partial(greedy_generate, model,

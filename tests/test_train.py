@@ -166,3 +166,33 @@ def test_causal_losses_single_pass_parity():
     np.testing.assert_allclose(
         float(s_loss),
         float(summary_loss(logits, labels, 16, 1)), rtol=1e-6)
+
+
+def test_split_step_matches_monolithic():
+    """make_split_train_step (two programs, donated update) must produce
+    byte-identical params/opt_state/metrics to the monolithic step — it
+    exists purely because XLA schedules the combined program ~30 ms/step
+    slower on v5e (steps.py docstring)."""
+    from mmgl_tpu.train.steps import make_split_train_step
+
+    args, model, cfg, state, tx, batch, mask = _setup(peft="lora")
+    mono = jax.jit(make_train_step(model, tx, cfg.decoder_only, S_IN, 0,
+                                   trainable_mask=mask))
+    split = make_split_train_step(model, tx, cfg.decoder_only, S_IN, 0,
+                                  trainable_mask=mask)
+    rng = jax.random.PRNGKey(7)
+    sm = create_train_state(jax.tree_util.tree_map(np.asarray, state.params),
+                            tx)
+    ss = create_train_state(jax.tree_util.tree_map(np.asarray, state.params),
+                            tx)
+    for i in range(3):
+        r = jax.random.fold_in(rng, i)
+        sm, mm = mono(sm, batch, r)
+        ss, ms = split(ss, batch, r)
+    for key in ("loss", "summary_loss", "grad_norm"):
+        np.testing.assert_allclose(float(ms[key]), float(mm[key]), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        ss.params, sm.params)
+    assert int(ss.step) == int(sm.step) == 3
