@@ -93,6 +93,7 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     from mmgl_tpu.peft import trainable_mask
     from mmgl_tpu.train.optim import build_optimizer
     from mmgl_tpu.train.steps import (create_train_state,
+                                      dropout_stream_key,
                                       make_split_train_step)
 
     on_tpu = jax.default_backend() == "tpu"
@@ -161,7 +162,8 @@ def measure_variant(variant: str, quick: bool, batch: int, n1: int, n2: int,
 
     step, state, batch_np, b, flops_section = build(variant, quick, batch,
                                                     size)
-    key = jax.random.PRNGKey(1)
+    from mmgl_tpu.train.steps import dropout_stream_key
+    key = dropout_stream_key(1)
 
     # Pre-stage the batch on device: the timed loop measures the on-device
     # step. In production the PrefetchLoader overlaps host->device transfer
@@ -339,6 +341,7 @@ def bench_pipeline(args):
     from mmgl_tpu.peft import trainable_mask
     from mmgl_tpu.train.optim import build_optimizer
     from mmgl_tpu.train.steps import (create_train_state,
+                                      dropout_stream_key,
                                       make_split_train_step)
     from mmgl_tpu.utils.tokenizer import ByteTokenizer
 
@@ -394,7 +397,7 @@ def bench_pipeline(args):
         with mesh:
             return shard_batch(batch, mesh)
 
-    key = jax.random.PRNGKey(1)
+    key = dropout_stream_key(1)
     # warmup: compile + drain
     sharded = next_sharded()
     state, m = step(state, sharded, key)

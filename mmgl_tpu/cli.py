@@ -35,8 +35,8 @@ from mmgl_tpu.peft import count_params, trainable_mask
 from mmgl_tpu.train import checkpoints
 from mmgl_tpu.train.generate import greedy_generate
 from mmgl_tpu.train.optim import build_optimizer
-from mmgl_tpu.train.steps import (create_train_state, make_eval_step,
-                                  make_split_train_step)
+from mmgl_tpu.train.steps import (create_train_state, dropout_stream_key,
+                                  make_eval_step, make_split_train_step)
 from mmgl_tpu.utils import AverageMeter, ProgressMeter, get_tokenizer
 
 
@@ -102,7 +102,9 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     n_procs = jax.process_count()
     if args.seed is not None:
         np.random.seed(args.seed)
-    rng = jax.random.PRNGKey(args.seed or 0)
+    rng = jax.random.PRNGKey(args.seed or 0)   # param-init stream
+    # dropout stream: hardware-RNG keys on TPU (see dropout_stream_key)
+    drop_rng = dropout_stream_key(args.seed or 0)
 
     # log dir (run_generation.py:238-244)
     i = 0
@@ -298,7 +300,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         sharded = next_sharded(0)
         for u in range(updates_per_epoch):
             data_time.update(time.time() - end)
-            rng, step_rng = jax.random.split(rng)
+            drop_rng, step_rng = jax.random.split(drop_rng)
             with mesh:
                 state, metrics = train_step(state, sharded, step_rng)
             if u + 1 < updates_per_epoch:

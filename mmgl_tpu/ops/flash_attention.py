@@ -31,8 +31,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-BQ = 256  # query rows per program in the forward kernel
+BQ = 256  # default query rows per program in the forward kernel
 BK = 256  # key chunk per fori_loop step in the streaming causal forward
+
+
+def _pick_bq(sq: int) -> int:
+    """Query-block size: prefer exact tiling over the default 256.
+
+    MMGL's hot decoder shape is sq=640; BQ=256 pads it to 768 (20% wasted
+    query rows), BQ=320 tiles it exactly — measured 2.11 vs 2.58 ms for the
+    b=32 h=12 causal fwd kernel on v5e (scripts/tune_attention.py). 320 is
+    sublane-legal (multiple of 8); candidates stay >=128 so the (8,128)
+    tiling rule holds.
+    """
+    for cand in (512, 384, 320, 256, 128):
+        if sq % cand == 0:
+            return cand
+    return BQ
 
 import os as _os
 
@@ -59,7 +74,8 @@ def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal,
+                sq, sk, bq):
     # matmul inputs stay in their native dtype (bf16 on TPU) with fp32
     # accumulation — upcasting q/k/v first would force fp32 MXU passes at a
     # fraction of the bf16 rate. Softmax math is fp32; probs are cast back
@@ -76,7 +92,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
     logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
     if causal:
         j = pl.program_id(1)
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + j * BQ
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + j * bq
         k_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         # align sequence ends so KV-cache decode (sq < sk) stays causal
         logits = jnp.where(q_idx + (sk - sq) >= k_idx, logits, NEG_INF)
@@ -92,7 +108,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, sq, sk):
 
 
 def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                              scale, sq, sk):
+                              scale, sq, sk, bq):
     """Causal forward with online softmax + block skipping.
 
     Query block j only attends keys < (j+1)*BQ + (sk-sq); looping k in BK
@@ -102,15 +118,15 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     compute, not memory traffic.
     """
     j = pl.program_id(1)
-    qblk = q_ref[0]                                        # (BQ, D)
+    qblk = q_ref[0]                                        # (bq, D)
     sk_p = k_ref.shape[1]
     d = qblk.shape[1]
 
-    limit = (j + 1) * BQ + (sk - sq)          # exclusive causal key bound
+    limit = (j + 1) * bq + (sk - sq)          # exclusive causal key bound
     n_kb = jnp.minimum((limit + BK - 1) // BK, sk_p // BK)
 
-    q_idx = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-             + j * BQ + (sk - sq))
+    q_idx = (jax.lax.broadcasted_iota(jnp.int32, (bq, BK), 0)
+             + j * bq + (sk - sq))
 
     def body(kb, carry):
         m_i, l_i, acc = carry
@@ -119,8 +135,8 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         mask_chunk = mask_ref[0, 0, pl.ds(kb * BK, BK)]
         logits = jax.lax.dot_general(
             qblk, k_chunk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # (BQ, BK) fp32
-        k_idx = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + kb * BK)
+            preferred_element_type=jnp.float32) * scale    # (bq, BK) fp32
+        k_idx = (jax.lax.broadcasted_iota(jnp.int32, (bq, BK), 1) + kb * BK)
         ok = (mask_chunk[None, :] > 0) & (q_idx >= k_idx)
         logits = jnp.where(ok, logits, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1))
@@ -132,9 +148,9 @@ def _fwd_kernel_causal_stream(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
-    m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BQ,), jnp.float32)
-    acc0 = jnp.zeros((BQ, d), jnp.float32)
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
 
@@ -143,7 +159,8 @@ def _fwd(q, k, v, kv_mask, scale, causal, interpret):
     """q: (BH, Sq, D); k/v: (BH, Sk, D); kv_mask: (BH, Sk) int32."""
     bh, sq, d = q.shape
     sk = k.shape[1]
-    q_p = _pad_to(q, 1, BQ)
+    bq = _pick_bq(sq)
+    q_p = _pad_to(q, 1, bq)
     kv_mult = BK if causal else 128   # streaming kernel chunks K by BK
     k_p = _pad_to(k, 1, kv_mult)
     v_p = _pad_to(v, 1, kv_mult)
@@ -152,17 +169,17 @@ def _fwd(q, k, v, kv_mask, scale, causal, interpret):
 
     if causal and _CAUSAL_STREAM:
         kernel = functools.partial(_fwd_kernel_causal_stream, scale=scale,
-                                   sq=sq, sk=sk)
+                                   sq=sq, sk=sk, bq=bq)
     else:
         kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                                   sq=sq, sk=sk)
-    grid = (bh, sq_p // BQ)
+                                   sq=sq, sk=sk, bq=bq)
+    grid = (bh, sq_p // bq)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -171,8 +188,10 @@ def _fwd(q, k, v, kv_mask, scale, causal, interpret):
             pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq_p * sk_p * d,
             bytes_accessed=(q_p.size + k_p.size + v_p.size) * q.dtype.itemsize,
@@ -260,6 +279,8 @@ def _bwd(q, k, v, kv_mask, scale, causal, interpret, out, dout):
             q_spec, q_spec,
         ],
         out_specs=(q_spec, k_spec, k_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * sq_p * sk_p * d,
             bytes_accessed=3 * (q_p.size + k_p.size + v_p.size) * q.dtype.itemsize,

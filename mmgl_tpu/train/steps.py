@@ -32,6 +32,22 @@ def create_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
+def dropout_stream_key(seed: int) -> jax.Array:
+    """Key for the training dropout stream.
+
+    On TPU this uses the `rbg` PRNG (hardware RNG instruction): measured on
+    v5e at the production OPT-125M/640-token shape, threefry dropout costs
+    35.7 ms/step in the grads program vs 7.6 ms with rbg — 15% of the step
+    for identically-distributed Bernoulli masks (scripts/ab_dropout.py).
+    Only the dropout/layerdrop stream changes; param init and data shuffling
+    keep the default PRNG. CPU keeps threefry so CPU-run parity/trajectory
+    tests are bit-stable across this change.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.random.key(seed, impl="rbg")
+    return jax.random.PRNGKey(seed)
+
+
 def make_loss_fn(model, decoder_only: bool, max_input_length: int,
                  pad_token_id: int):
     def loss_fn(params, batch, rng=None):

@@ -62,6 +62,10 @@ def test_two_process_training(tmp_path, mesh):
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # the worker script lives in tmp_path, so sys.path[0] is NOT the repo —
+    # make the package importable without relying on an editable install
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(rank), str(port),
          str(tmp_path / "ckpt"), str(tmp_path / "log"), mesh],

@@ -196,3 +196,46 @@ def test_split_step_matches_monolithic():
                                                 rtol=1e-6, atol=1e-7),
         ss.params, sm.params)
     assert int(ss.step) == int(sm.step) == 3
+
+
+def test_ce_custom_vjp_matches_autodiff():
+    """_ce_core's hand-written backward must equal plain-autodiff CE in
+    value AND gradient — it exists to kill the fp32 (B,T,V) residual
+    (profiled at 11.5 ms/step on v5e), not to change math."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmgl_tpu.train.losses import _token_ce
+
+    def ref_ce(logits, labels):
+        lf = logits.astype(jnp.float32)
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
+        logz = jax.nn.logsumexp(lf, axis=-1)
+        gold = jnp.take_along_axis(lf, safe[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, logz - gold, 0.0), valid
+
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, 64, (3, 17)).astype(np.int32)
+    labels[0, 2:5] = -100
+    labels[2, 11:] = -100
+    labels = jnp.asarray(labels)
+    w = jnp.asarray(rng.rand(3, 17), jnp.float32)  # mixed upstream weights
+
+    for dtype, tol in ((jnp.float32, 1e-6), (jnp.bfloat16, 1e-6)):
+        logits = jnp.asarray(rng.randn(3, 17, 64), jnp.float32).astype(dtype)
+
+        def ours(lg):
+            ce, _ = _token_ce(lg, labels)
+            return (ce * w).sum()
+
+        def theirs(lg):
+            ce, _ = ref_ce(lg, labels)
+            return (ce * w).sum()
+
+        v0, g0 = jax.value_and_grad(ours)(logits)
+        v1, g1 = jax.value_and_grad(theirs)(logits)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=tol)
+        np.testing.assert_allclose(np.asarray(g0, np.float32),
+                                   np.asarray(g1, np.float32),
+                                   rtol=1e-5, atol=1e-6)
