@@ -94,7 +94,7 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     from mmgl_tpu.train.optim import build_optimizer
     from mmgl_tpu.train.steps import (create_train_state,
                                       dropout_stream_key,
-                                      make_split_train_step)
+                                      make_production_train_step)
 
     on_tpu = jax.default_backend() == "tpu"
     size = "tiny" if quick else size
@@ -150,7 +150,7 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
             cfg.vision.hidden_size)
 
     state = create_train_state(params, tx)
-    step = make_split_train_step(
+    step = make_production_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
         pad_token_id=1, grad_accumulation_steps=1)
     return step, state, batch_np, b, flops_section
@@ -342,7 +342,7 @@ def bench_pipeline(args):
     from mmgl_tpu.train.optim import build_optimizer
     from mmgl_tpu.train.steps import (create_train_state,
                                       dropout_stream_key,
-                                      make_split_train_step)
+                                      make_production_train_step)
     from mmgl_tpu.utils.tokenizer import ByteTokenizer
 
     on_tpu = jax.default_backend() == "tpu"
@@ -376,7 +376,7 @@ def bench_pipeline(args):
     mask = trainable_mask(params, margs.peft_type, margs.freeze_lm)
     tx = build_optimizer(margs, mask)
     state = create_train_state(params, tx)
-    step = make_split_train_step(
+    step = make_production_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
         pad_token_id=1, grad_accumulation_steps=1)
 

@@ -36,7 +36,7 @@ from mmgl_tpu.train import checkpoints
 from mmgl_tpu.train.generate import greedy_generate
 from mmgl_tpu.train.optim import build_optimizer
 from mmgl_tpu.train.steps import (create_train_state, dropout_stream_key,
-                                  make_eval_step, make_split_train_step)
+                                  make_eval_step, make_production_train_step)
 from mmgl_tpu.utils import AverageMeter, ProgressMeter, get_tokenizer
 
 
@@ -222,10 +222,9 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
     accum = max(1, args.grad_accumulation_steps)
     pad_id = tokenizer.pad_token_id
-    # split grad/update programs: ~30 ms/step faster than the monolithic
-    # fused program on v5e (make_split_train_step docstring); the input
-    # state is consumed (donated) exactly like donate_argnums=(0,)
-    train_step = make_split_train_step(
+    # one fused donated program (make_production_train_step docstring);
+    # the input state is consumed each call
+    train_step = make_production_train_step(
         model, tx, fcfg.decoder_only, args.max_input_length, pad_id,
         grad_accumulation_steps=accum, trainable_mask=mask)
     eval_step = jax.jit(make_eval_step(

@@ -73,9 +73,14 @@ def multi_head_attention(
         and dropout_rate == 0.0
         and q.shape[-1] <= 256
         and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
-        # measured on v5e: Pallas wins causal 640x640 (1.9x) and 512x512
-        # text (1.86x); XLA wins the tiny 64-token neighbor cross memory
+        # measured on v5e: Pallas wins causal 640x640 (2.1x) and 512x512
+        # text (2.7x); XLA wins the tiny 64-token neighbor cross memory
         and k.shape[1] >= PALLAS_MIN_KV
+        # lane-misaligned sequences lose in the kernel: the 197-patch CLIP
+        # shape pads 197->256 and measured 101.5 ms (Pallas) vs 67.4 (XLA)
+        # for the 192-image tower forward (scripts/ab_split_tower.py)
+        and q.shape[1] % 128 == 0
+        and k.shape[1] % 128 == 0
     )
     if wants_pallas and pallas_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention

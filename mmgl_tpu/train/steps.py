@@ -125,9 +125,8 @@ def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
     for PEFT configs (flamingo/LoRA on multi-billion-param bases) that is
     the difference between fitting in HBM and not.
 
-    Prefer make_split_train_step for production training: the monolithic
-    program measures ~30 ms/step slower on v5e at the 125M/640-token shape
-    (see make_split_train_step's docstring).
+    Production entry point: make_production_train_step (this, jitted with
+    state donation).
     """
     grads_of = _make_grads_fn(model, tx, decoder_only, max_input_length,
                               pad_token_id, grad_accumulation_steps,
@@ -154,12 +153,16 @@ def make_split_train_step(model, tx, decoder_only: bool,
     step(state, batch, rng) -> (state, metrics), the input state is
     CONSUMED (its buffers are donated to the update program).
 
-    Why split: measured on v5e at the production shape (OPT-125M, b=32,
-    640 tokens), the monolithic fused program runs 191 ms/step while
-    fwd+bwd (154.7) plus the isolated optimizer update (7.5) run 161 ms as
-    two programs — XLA's scheduling/buffer assignment of the combined
-    program costs ~30 ms/step, 16% of the step (scripts/step_variants.py,
-    BENCH r3). Numerical output is identical (test_train.py asserts it).
+    History: an r3 experiment (scripts/step_variants.py) measured the split
+    30 ms/step faster than the monolithic program, but the comparison was
+    confounded — the split variant ran WITHOUT dropout while the monolithic
+    baseline ran threefry dropout (35.7 ms/step; scripts/ab_dropout.py).
+    With the dropout stream controlled (rbg keys) the two are equal on v5e:
+    159.1 ms monolithic-donated vs 160.7 split (scripts/ab_split_tower.py).
+    The monolithic step is the production default (one dispatch, full
+    buffer aliasing); this stays for comparison and as a two-program option
+    when update-side HBM pressure matters. Numerical output is identical
+    (test_train.py asserts it).
     """
     grads_of = _make_grads_fn(model, tx, decoder_only, max_input_length,
                               pad_token_id, grad_accumulation_steps,
@@ -182,6 +185,25 @@ def make_split_train_step(model, tx, decoder_only: bool,
                           opt_state=opt_state), metrics
 
     return step
+
+
+def make_production_train_step(model, tx, decoder_only: bool,
+                               max_input_length: int, pad_token_id: int,
+                               grad_accumulation_steps: int = 1,
+                               trainable_mask=None) -> Callable:
+    """The production train step: ONE fused jitted program (forward +
+    backward + optimizer update) with the input state donated.
+
+    step(state, batch, rng) -> (state, metrics); the input state is
+    CONSUMED (its buffers alias the output state). Measured on v5e at the
+    production OPT-125M/640-token shape: 159.1 ms/step — equal to the
+    two-program split step (160.7) once the dropout RNG is the rbg stream,
+    and simpler (single dispatch, complete donation).
+    """
+    step = make_train_step(model, tx, decoder_only, max_input_length,
+                           pad_token_id, grad_accumulation_steps,
+                           trainable_mask)
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_eval_step(model, decoder_only: bool, max_input_length: int,
