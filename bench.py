@@ -308,6 +308,14 @@ def main():
             **extra,
             "device_kind": kind,
             "peak_tflops": (peak / 1e12 if peak else None),
+            # measured large-square bf16 matmul rate on THIS chip
+            # (scripts/probe_peak.py, 8192^3: 175.5 TF/s = 89% of the
+            # datasheet 197): the realistic MFU denominator. The remaining
+            # gap at the production shape is the d=64 attention ceiling
+            # (every attention matmul has one 64-wide dim -> <=50% MXU
+            # occupancy; blocked/split bwd kernels measured WORSE:
+            # scripts/tune_attention.py) plus ~7.6 ms rbg dropout.
+            "peak_tflops_measured_matmul": 175.5,
             "a100_reference_estimate_sections_per_sec": round(a100_est, 2),
             "a100_arithmetic": arithmetic,
             "timing": f"two-point difference (N1={n1}, N2={n2}), loss "

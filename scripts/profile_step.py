@@ -53,7 +53,8 @@ def main():
     from mmgl_tpu.models.factory import build_model
     from mmgl_tpu.peft import trainable_mask
     from mmgl_tpu.train.optim import build_optimizer
-    from mmgl_tpu.train.steps import create_train_state, make_split_train_step
+    from mmgl_tpu.train.steps import (create_train_state, dropout_stream_key,
+                                      make_production_train_step)
 
     on_tpu = jax.default_backend() == "tpu"
     margs = Arguments(
@@ -84,9 +85,10 @@ def main():
     state = create_train_state(params, tx)
     batch = jax.device_put(batch)
     jax.block_until_ready(batch)
-    key = jax.random.PRNGKey(1)
+    key = dropout_stream_key(1)
 
-    step = make_split_train_step(model, tx, True, cfg.max_input_length, 1)
+    step = make_production_train_step(model, tx, True,
+                                      cfg.max_input_length, 1)
     state, m = step(state, batch, key)  # compile
     float(m["loss"])
 

@@ -283,8 +283,8 @@ def main():
             j = pl.program_id(1)
             qblk = q_ref[0]
             doblk = do_ref[0]
-            delta = delta_ref[0, 0]         # (bq,)
-            lse = lse_ref[0, 0]             # (bq,)
+            delta = delta_ref[0, 0, pl.ds(j * bq, bq)]   # (bq,)
+            lse = lse_ref[0, 0, pl.ds(j * bq, bq)]       # (bq,)
             n_kb = ((j + 1) * bq + bk - 1) // bk
             qi = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + j * bq
 
@@ -316,7 +316,7 @@ def main():
             jk = pl.program_id(1)
             kblk = k_ref[0]                 # (bk, D)
             vblk = v_ref[0]
-            mc = mask_ref[0, 0]             # (bk,)
+            mc = mask_ref[0, 0, pl.ds(jk * bk, bk)]   # (bk,)
             nq = S // bq
             ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
 
@@ -360,7 +360,7 @@ def main():
                                  memory_space=pltpu.VMEM)
         spec_m = pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-        spec_r = pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
+        spec_r = pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         spec_rfull = pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -412,7 +412,8 @@ def main():
             o_ref[0] = jax.lax.dot_general(
                 p.astype(vv.dtype), vv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(o_ref.dtype)
-            lse_ref[0, 0] = (jnp.log(sden[:, 0]) + m[:, 0])
+            lse_ref[0, 0, pl.ds(j * bq, bq)] = (jnp.log(sden[:, 0])
+                                                + m[:, 0])
 
         f = pl.pallas_call(
             kern,
@@ -432,7 +433,7 @@ def main():
             out_specs=(
                 pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
+                pl.BlockSpec((1, 1, S), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             compiler_params=pltpu.CompilerParams(
