@@ -1,0 +1,101 @@
+"""Measure BASELINE configs 3 and 4 on chip (PARITY.md perf rows).
+
+  config 3: OPT-1.3B + LoRA, text_only embedding-mode neighbors, b=8
+  config 4: OPT-2.7B + flamingo gated cross-attn (bf16 params), b=8
+
+Run ON CHIP:  python scripts/bench_baseline_configs.py [--config 3|4]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def measure(config: int):
+    import jax
+    import jax.numpy as jnp
+
+    from mmgl_tpu.config import Arguments
+    from mmgl_tpu.models.factory import build_model
+    from mmgl_tpu.peft import count_params, trainable_mask
+    from mmgl_tpu.train.optim import build_optimizer
+    from mmgl_tpu.train.steps import (create_train_state, dropout_stream_key,
+                                      make_production_train_step)
+
+    on_tpu = jax.default_backend() == "tpu"
+    b = 8
+    if config == 3:
+        margs = Arguments(
+            model_name_or_path="opt-1.3b", context="text_only",
+            neighbor_mode="embedding", peft_type="lora", freeze_lm=True,
+            max_input_length=512, max_output_length=128,
+            bf16=on_tpu, use_pallas=on_tpu, remat=True)
+    else:
+        margs = Arguments(
+            model_name_or_path="opt-2.7b-mpt", context="text_only",
+            neighbor_mode="embedding", peft_type="flamingo", freeze_lm=True,
+            max_input_length=512, max_output_length=128,
+            bf16=on_tpu, use_pallas=on_tpu)
+        margs.cross_attention = True
+        margs.param_bf16 = True
+    margs.decoder_only = True
+    model, cfg = build_model(margs, vocab_size=50272)
+
+    rng = np.random.RandomState(0)
+    t = cfg.max_input_length + cfg.max_output_length
+    n_txt = cfg.max_text_neighbors
+    batch = {
+        "input_ids": rng.randint(4, 50000, (b, t)).astype(np.int32),
+        "attention_mask": np.ones((b, t), np.int32),
+        "labels": rng.randint(4, 50000, (b, t)).astype(np.int32),
+        # cached text-neighbor path: pooled roberta-base features
+        "neighbor_text_pooled": rng.randn(b, n_txt, 768).astype(np.float32),
+        "neighbor_pos_ids": np.tile(
+            np.arange(1, n_txt + 1)[None], (b, 1)).astype(np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    params = dict(variables["params"])
+    mask = trainable_mask(params, margs.peft_type, margs.freeze_lm)
+    counts = count_params(params, mask)
+    tx = build_optimizer(margs, mask)
+    state = create_train_state(params, tx)
+    step = make_production_train_step(
+        model, tx, True, cfg.max_input_length, 1, trainable_mask=mask)
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+    key = dropout_stream_key(1)
+
+    state, m = step(state, batch, key)
+    loss = float(m["loss"])
+    assert np.isfinite(loss), loss
+
+    def run(n):
+        nonlocal state
+        mlast = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, mlast = step(state, batch, key)
+        float(mlast["loss"])
+        return time.perf_counter() - t0
+
+    ta, tb = run(3), run(12)
+    dt = (tb - ta) / 9
+    print(f"config {config}: {b / dt:.2f} sections/s/chip  "
+          f"{dt * 1e3:.1f} ms/step  b={b}  "
+          f"params={counts['total']:,} trainable={counts['trainable']:,} "
+          f"loss={loss:.4f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=3, choices=(3, 4))
+    args = ap.parse_args()
+    measure(args.config)
+
+
+if __name__ == "__main__":
+    main()
