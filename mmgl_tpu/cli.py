@@ -29,8 +29,8 @@ from mmgl_tpu.data.loader import PrefetchLoader
 from mmgl_tpu.data.synthetic import make_synthetic_corpus
 from mmgl_tpu.metrics import Cider, bleu_score, rouge_score
 from mmgl_tpu.models.factory import build_model, maybe_import_pretrained
-from mmgl_tpu.parallel import (gather_tokens, init_distributed, make_mesh,
-                               shard_batch, shard_params)
+from mmgl_tpu.parallel import (apply_zero1, gather_tokens, init_distributed,
+                               make_mesh, shard_batch, shard_params)
 from mmgl_tpu.peft import count_params, trainable_mask
 from mmgl_tpu.train import checkpoints
 from mmgl_tpu.train.generate import greedy_generate
@@ -199,8 +199,11 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
     tx = build_optimizer(args, mask)
     with mesh:
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=args.fsdp)
         state = create_train_state(params, tx)
+        if args.zero1:
+            # ZeRO-1: moments sharded over the data axis (see mesh.py)
+            state = apply_zero1(state, mesh)
 
     # resume (run_generation.py:336-350)
     best_acc1 = 0.0
@@ -217,6 +220,9 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                     dict(state.params), restored["params"]),
                 opt_state=restored["opt_state"],
                 step=jnp.asarray(restored["step"]))
+            if args.zero1:
+                with mesh:
+                    state = apply_zero1(state, mesh)
         else:
             print(f"=> no checkpoint found at '{ckpt_path}'")
 

@@ -69,11 +69,24 @@ def _spec_for(path: str, model_axis: str) -> P:
 
 
 def param_shardings(params: Dict, mesh: Mesh,
-                    model_axis: str = "model") -> Dict:
-    """NamedSharding pytree for the param tree (TP when the axis has >1
-    devices, otherwise fully replicated)."""
+                    model_axis: str = "model",
+                    fsdp: bool = False, data_axis: str = "data",
+                    fsdp_min_size: int = 1024) -> Dict:
+    """NamedSharding pytree for the param tree.
+
+    TP (when the model axis has >1 devices): megatron path-regex rules.
+    FSDP (ZeRO-3, `fsdp=True`): every weight leaf >= fsdp_min_size elements
+    additionally shards its first free, evenly-divisible dimension over the
+    data axis. Params then live sharded in HBM; XLA all-gathers each layer's
+    weights just-in-time for its matmuls and reduce-scatters the gradients —
+    the FSDP schedule, derived entirely from sharding annotations. (The
+    reference's DDP replicates the full model per GPU,
+    run_generation.py:319.) Optimizer moments initialized with
+    jnp.zeros_like inherit the sharding, so ZeRO-1 comes for free.
+    """
     flat = traverse_util.flatten_dict(params, sep="/")
     tp = mesh.shape.get(model_axis, 1) > 1
+    n_data = mesh.shape.get(data_axis, 1)
     out = {}
     for path, leaf in flat.items():
         spec = _spec_for(path, model_axis) if tp else P()
@@ -87,6 +100,13 @@ def param_shardings(params: Dict, mesh: Mesh,
                     ok = False
             if not ok:
                 spec = P()
+        if fsdp and n_data > 1 and np.size(leaf) >= fsdp_min_size:
+            dims = list(spec) + [None] * (leaf.ndim - len(spec))
+            for dim in range(leaf.ndim):
+                if dims[dim] is None and leaf.shape[dim] % n_data == 0:
+                    dims[dim] = data_axis
+                    spec = P(*dims)
+                    break
         out[path] = NamedSharding(mesh, spec)
     return traverse_util.unflatten_dict(out, sep="/")
 
@@ -96,8 +116,8 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
 
 
-def shard_params(params: Dict, mesh: Mesh) -> Dict:
-    shardings = param_shardings(params, mesh)
+def shard_params(params: Dict, mesh: Mesh, fsdp: bool = False) -> Dict:
+    shardings = param_shardings(params, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
@@ -158,3 +178,53 @@ def init_distributed(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def zero1_opt_shardings(opt_state, mesh: Mesh, data_axis: str = "data",
+                        min_size: int = 1024):
+    """ZeRO-1 sharding tree for optimizer state: moments over the data axis.
+
+    The reference's DDP replicates AdamW moments on every rank
+    (run_generation.py:319 — torch DDP has no optimizer-state sharding).
+    On a TPU mesh the moments feed only the elementwise update, so each
+    data-parallel chip can own a slice: annotate the moments with a
+    data-axis sharding and XLA partitions the update and all-gathers only
+    the parameter deltas — the ZeRO-1 pattern, from sharding annotations
+    alone, no hand-written collectives.
+
+    Each array leaf keeps its existing spec (e.g. a TP axis inherited from
+    its parameter) and additionally shards the first free, evenly-divisible
+    dimension over `data_axis`. Leaves smaller than `min_size` elements
+    (step counts, scalars) stay as they are.
+    """
+    n_data = mesh.shape.get(data_axis, 1)
+
+    def refine(leaf):
+        if not hasattr(leaf, "ndim"):
+            return None
+        if isinstance(getattr(leaf, "sharding", None), NamedSharding):
+            spec = list(leaf.sharding.spec)
+        else:
+            spec = []
+        spec = spec + [None] * (leaf.ndim - len(spec))
+        used = set()
+        for s in spec:
+            used.update(s if isinstance(s, (tuple, list)) else [s])
+        if (n_data > 1 and leaf.ndim >= 1 and leaf.size >= min_size
+                and data_axis not in used):
+            for dim in range(leaf.ndim):
+                if spec[dim] is None and leaf.shape[dim] % n_data == 0:
+                    spec[dim] = data_axis
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(refine, opt_state)
+
+
+def apply_zero1(state, mesh: Mesh, data_axis: str = "data"):
+    """Reshard a TrainState's opt_state per zero1_opt_shardings."""
+    shardings = zero1_opt_shardings(state.opt_state, mesh, data_axis)
+    opt_state = jax.tree_util.tree_map(
+        lambda a, s: a if s is None else jax.device_put(a, s),
+        state.opt_state, shardings)
+    return state.replace(opt_state=opt_state)

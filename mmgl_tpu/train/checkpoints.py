@@ -59,11 +59,19 @@ def restore_checkpoint(path: str, state=None,
     if state is None:
         return ckptr.restore(path)
     params = state.params if keep_towers else _strip_towers(state.params)
-    # abstract template: structure + dtype without materializing values, so
-    # non-fully-addressable (model-sharded, multi-host) leaves don't raise
-    abstract = lambda t: jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
-                                       if np.ndim(x) == 0 else x.dtype), t)
+    # abstract template: structure + dtype + live sharding, without
+    # materializing values, so non-fully-addressable (model-sharded,
+    # multi-host) leaves don't raise. Carrying the leaf's sharding matters:
+    # jit-produced arrays can hold GSPMD shardings orbax can't serialize to
+    # its `_sharding` file at save time, so a template without shardings
+    # would make restore consult that file and miss (e.g. --zero1 moments).
+    def _abs(x):
+        if np.ndim(x) == 0:
+            return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                    sharding=getattr(x, "sharding", None))
+
+    abstract = lambda t: jax.tree_util.tree_map(_abs, t)
     template = {
         "epoch": np.asarray(0),
         "best_acc1": np.asarray(0.0, np.float32),
@@ -71,7 +79,8 @@ def restore_checkpoint(path: str, state=None,
         "opt_state": abstract(state.opt_state),
         "step": np.asarray(0),
     }
-    return ckptr.restore(path, item=template)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    return ckptr.restore(path, item=template, restore_args=restore_args)
 
 
 def merge_restored_params(current: Dict, restored: Dict) -> Dict:

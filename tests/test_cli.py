@@ -60,6 +60,29 @@ def test_run_training_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "default_0", "ckpt"))
 
 
+def test_run_training_zero1_resume(tmp_path):
+    """--zero1 end to end: train over a dp mesh with data-sharded moments,
+    then resume — apply_zero1 must re-apply after the orbax restore."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    common = dict(
+        model_name_or_path="opt-tiny", context="section_only",
+        neighbor_mode="raw", max_input_length=32, max_output_length=16,
+        per_device_train_batch_size=2, per_device_val_batch_size=2,
+        epochs=1, steps_per_epoch=2, val_steps_per_epoch=1,
+        grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+        lr_warmup_steps=2, log_dir=str(tmp_path), use_pallas=False, seed=0,
+        dataloader_num_workers=1, prefetch_batches=2,
+        mesh_shape=(8, 1), zero1=True)
+    results = run_training(Arguments(wandb_run="z1", **common))
+    assert np.isfinite(results["loss"])
+
+    results = run_training(Arguments(wandb_run="z1b", resume="z1_0",
+                                     **common))
+    assert np.isfinite(results["loss"])
+
+
 def test_cli_test_flag_with_resume(tmp_path):
     """--test: evaluate-only with a resumed checkpoint (the reference's
     test path crashes on an undefined epoch + missing generate, Q5;

@@ -25,6 +25,7 @@ port = sys.argv[2]
 save_dir = sys.argv[3]
 log_dir = sys.argv[4]
 dp, tp = (int(x) for x in sys.argv[5].split(","))
+feats = sys.argv[6].split(",") if len(sys.argv) > 6 and sys.argv[6] else []
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
@@ -42,6 +43,7 @@ args = Arguments(
     lr_warmup_steps=2, log_dir=log_dir, save_dir=save_dir,
     use_pallas=False, seed=0, dataloader_num_workers=1, prefetch_batches=2,
     mesh_shape=(dp, tp),
+    zero1="zero1" in feats, fsdp="fsdp" in feats,
     distributed=True, coordinator_address=f"127.0.0.1:{port}",
     num_processes=2, process_id=proc_id)
 results = run_training(args)
@@ -50,10 +52,15 @@ print("RESULTS " + json.dumps(
 """
 
 
-@pytest.mark.parametrize("mesh", ["4,1", "2,2"], ids=["dp4", "dp2xtp2"])
-def test_two_process_training(tmp_path, mesh):
+@pytest.mark.parametrize("mesh,feats", [
+    ("4,1", ""), ("2,2", ""), ("4,1", "zero1,fsdp"),
+], ids=["dp4", "dp2xtp2", "dp4+zero1+fsdp"])
+def test_two_process_training(tmp_path, mesh, feats):
     """dp-only and dp x tp: the tp axis spans BOTH processes, so TP param
-    shards and activation collectives ride the (simulated) DCN."""
+    shards and activation collectives ride the (simulated) DCN. The
+    zero1+fsdp case shards params AND moments over the cross-process data
+    axis — non-fully-addressable leaves flow through the train step, the
+    eval gather and the collective orbax checkpoint save."""
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     with socket.socket() as s:
@@ -68,7 +75,7 @@ def test_two_process_training(tmp_path, mesh):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(rank), str(port),
-         str(tmp_path / "ckpt"), str(tmp_path / "log"), mesh],
+         str(tmp_path / "ckpt"), str(tmp_path / "log"), mesh, feats],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd="/root/repo") for rank in (0, 1)]
     outs = []

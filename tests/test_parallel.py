@@ -80,7 +80,7 @@ def _tp_setup(peft):
     return dict(variables["params"]), tx, batch, train, evalf
 
 
-def _tp_run(params, tx, batch, train, evalf, mesh_shape):
+def _tp_run(params, tx, batch, train, evalf, mesh_shape, fsdp=False):
     """One train step + one eval forward on the given mesh; everything
     fetched to host for cross-topology comparison."""
     from mmgl_tpu.parallel import shard_batch, shard_params
@@ -88,13 +88,13 @@ def _tp_run(params, tx, batch, train, evalf, mesh_shape):
 
     mesh = make_mesh(mesh_shape)
     with mesh:
-        sp = shard_params(params, mesh)
+        sp = shard_params(params, mesh, fsdp=fsdp)
         state = create_train_state(sp, tx)
         sb = shard_batch(batch, mesh)
         state, metrics = jax.jit(train)(state, sb, jax.random.PRNGKey(0))
         out = jax.jit(evalf)(state.params, sb)
     return (float(metrics["loss"]), float(metrics["grad_norm"]),
-            np.asarray(out["logits"]))
+            np.asarray(out["logits"]), state)
 
 
 def test_tp_numerical_equivalence():
@@ -124,3 +124,56 @@ def test_tp_numerical_equivalence():
                                        err_msg=f"grad_norm {peft} {shape}")
             np.testing.assert_allclose(got[2], base[2], rtol=2e-4, atol=2e-4,
                                        err_msg=f"logits {peft} {shape}")
+
+
+def test_fsdp_numerical_equivalence_and_sharding():
+    """--fsdp (ZeRO-3 from annotations): params shard over the data axis,
+    the post-step loss/grad-norm/logits match the unsharded truth, params
+    remain data-sharded after the step (XLA must keep the FSDP layout, not
+    silently re-replicate), and the optimizer moments inherit the sharding
+    (ZeRO-1 for free)."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import NamedSharding
+
+    from mmgl_tpu.train.steps import create_train_state
+
+    def data_sharded_leaves(tree):
+        out = []
+        for leaf in jax.tree_util.tree_leaves(tree):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding):
+                axes = set()
+                for s in sh.spec:
+                    axes.update(s if isinstance(s, (tuple, list)) else [s])
+                if "data" in axes:
+                    out.append(leaf)
+        return out
+
+    params, tx, batch, train, evalf = _tp_setup("none")
+    batch = {k: np.concatenate([v] * 2, axis=0) for k, v in batch.items()}
+    state = create_train_state(params, tx)
+    state, metrics = jax.jit(train)(state, batch, jax.random.PRNGKey(0))
+    out = jax.jit(evalf)(state.params, batch)
+    base = (float(metrics["loss"]), float(metrics["grad_norm"]),
+            np.asarray(out["logits"]))
+
+    for shape in ((8, 1), (4, 2)):   # pure FSDP and FSDP x TP
+        got = _tp_run(params, tx, batch, train, evalf, shape, fsdp=True)
+        np.testing.assert_allclose(got[0], base[0], rtol=1e-5,
+                                   err_msg=f"loss fsdp {shape}")
+        np.testing.assert_allclose(got[1], base[1], rtol=1e-4,
+                                   err_msg=f"grad_norm fsdp {shape}")
+        np.testing.assert_allclose(got[2], base[2], rtol=2e-4, atol=2e-4,
+                                   err_msg=f"logits fsdp {shape}")
+        end_state = got[3]
+        sharded = data_sharded_leaves(end_state.params)
+        assert sharded, f"no param kept the data axis after a step {shape}"
+        leaf = max(sharded, key=lambda l: l.size)
+        n_data = shape[0]
+        assert leaf.addressable_shards[0].data.size == leaf.size // n_data, \
+            f"param shard not 1/{n_data} of the leaf {shape}"
+        assert data_sharded_leaves(end_state.opt_state), \
+            f"moments did not inherit the FSDP sharding {shape}"
