@@ -86,6 +86,36 @@ def test_gradients_match_xla(causal):
                                    rtol=1e-2, atol=5e-3)
 
 
+def test_blocked_causal_backward_multiblock(monkeypatch):
+    """The triangle-skipping blocked causal backward (MMGL_BLOCKED_BWD=1:
+    grid over 128-row blocks, p recomputed from the saved logsumexp —
+    measured slower than the dense default at 640 tokens, kept for longer
+    sequences) vs XLA autodiff on shapes spanning several blocks, including
+    the end-aligned sq < sk case — a wrong causal start/limit bound would
+    skip a needed block here."""
+    import mmgl_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_BLOCKED_BWD", True)
+    for sq, sk, seed in ((300, 300, 7), (200, 328, 8)):
+        q, k, v, mask = _make_qkv(b=1, sq=sq, sk=sk, h=2, d=16, seed=seed)
+
+        def loss_ref(q, k, v):
+            out = xla_attention(q, k, v, kv_mask=mask, causal=True)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, kv_mask=mask, causal=True,
+                                  interpret=True)
+            return jnp.sum(out * jnp.cos(out))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-2, atol=5e-3,
+                                       err_msg=f"sq={sq} sk={sk}")
+
+
 def test_fully_masked_rows_finite():
     q, k, v, _ = _make_qkv(b=1, sq=8, sk=8, h=1, d=8, seed=5)
     mask = jnp.zeros((1, 8), dtype=jnp.int32)
