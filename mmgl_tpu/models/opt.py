@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from mmgl_tpu.models.layers import ACT2FN, LoRADense, make_positions_from_mask
 from mmgl_tpu.ops import multi_head_attention
+from mmgl_tpu.ops.dropout import FastDropout
 
 Dtype = Any
 Cache = Dict[str, jax.Array]
@@ -212,7 +213,7 @@ class OPTDecoderLayer(nn.Module):
                      param_dtype=cfg.param_dtype)
         self.fc1 = nn.Dense(cfg.ffn_dim, **dense)
         self.fc2 = nn.Dense(cfg.hidden_size, **dense)
-        self.dropout = nn.Dropout(rate=cfg.dropout)
+        self.dropout = FastDropout(rate=cfg.dropout)
         if self.cross_attention and cfg.peft_type == "flamingo":
             self.gating1 = self.param("gating1", nn.initializers.zeros, ())
             self.gating2 = self.param("gating2", nn.initializers.zeros, ())
@@ -287,7 +288,7 @@ class OPTDecoder(nn.Module):
             self.final_layer_norm = _layer_norm(cfg, None)
         else:
             self.final_layer_norm = None
-        self.embed_dropout = nn.Dropout(rate=cfg.dropout)
+        self.embed_dropout = FastDropout(rate=cfg.dropout)
 
         layer_cls = OPTDecoderLayer
         if cfg.remat:

@@ -1,0 +1,43 @@
+"""TPU-fast dropout.
+
+Measured on v5e at the production OPT-125M/640-token shape, the 25 dropout
+sites (embed + 2 per layer, p=0.1; reference applies the same —
+modelling_cross_attention.py:472,340,365) cost 18.7 ms of the 168 ms
+train step with the stock bernoulli path even on the rbg hardware-RNG
+stream (scripts/ablate_step.py): jax.random.bernoulli draws 32 random bits
+per element and converts to f32 before comparing.
+
+This module thresholds raw uint8 lanes instead — 8 generated bits per
+element, no int->float conversion — which quantizes the keep probability
+to ceil/round(keep*256)/256 (0.9 -> 230/256 = 0.8984...). The inverted
+scale uses the quantized probability, so E[dropout(x)] == x holds exactly.
+The quantized-p path is TPU-only: CPU keeps flax's nn.Dropout bit-for-bit
+so CPU-run parity and trajectory tests are unaffected (same pattern as the
+rbg dropout stream, train/steps.py dropout_stream_key).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FastDropout(nn.Module):
+    """Drop-in nn.Dropout: uint8-threshold masks on TPU, stock elsewhere."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        if deterministic or self.rate == 0.0:
+            return x
+        if jax.default_backend() != "tpu":
+            return nn.Dropout(rate=self.rate, deterministic=False)(
+                x, rng=self.make_rng("dropout"))
+        keep = 1.0 - self.rate
+        thr = max(1, int(round(keep * 256.0)))
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        mask = bits < jnp.uint8(thr)
+        scale = jnp.asarray(256.0 / thr, x.dtype)
+        return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))

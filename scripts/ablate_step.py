@@ -100,17 +100,44 @@ def main():
     # ---- rungs ----
     results = {}
 
-    # 1. full train step (fwd+bwd+adamw), like bench.py
+    from mmgl_tpu.train.steps import dropout_stream_key
+
+    rbg_key = dropout_stream_key(1)  # the production dropout stream (rbg)
+
+    # 1. full train step (fwd+bwd+adamw + rbg dropout), like bench.py
     step = jax.jit(make_train_step(model, tx, True, cfg.max_input_length, 1))
     st = state
 
     def full(st_b):
         nonlocal st
-        st, m = step(st, st_b, key)
+        st, m = step(st, st_b, rbg_key)
         return m["loss"]
 
     rung("full_step", full, batch)
     del step
+
+    # 1b. full step, deterministic (rng=None -> no dropout RNG or masks)
+    step_d = jax.jit(make_train_step(model, tx, True, cfg.max_input_length, 1))
+
+    def full0(st_b):
+        nonlocal st
+        st, m = step_d(st, st_b, None)
+        return m["loss"]
+
+    rung("full_step_nodropout", full0, batch)
+    del step_d
+
+    # 1c. optimizer update alone (adamw over the full tree) — before the
+    # fwd/bwd rungs so the moments can be freed afterwards
+    def opt_only(st_):
+        grads = jax.tree_util.tree_map(jnp.ones_like, st_.params)
+        updates, opt_state = tx.update(grads, st_.opt_state, st_.params)
+        return optax.apply_updates(st_.params, updates)
+
+    rung("adamw_update", jax.jit(opt_only), state)
+    # free the optimizer moments (~1 GB at 125M fp32) for the later rungs
+    params = state.params
+    state = st = None
 
     # 2. fwd+bwd only (no optimizer update)
     def loss_fn(p, b_):
@@ -120,12 +147,12 @@ def main():
         return loss
 
     grad = jax.jit(jax.value_and_grad(loss_fn))
-    rung("fwd_bwd", lambda b_: grad(state.params, b_)[0], batch)
+    rung("fwd_bwd", lambda b_: grad(params, b_)[0], batch)
     del grad
 
     # 3. forward only (with CE loss)
     fwd = jax.jit(loss_fn)
-    rung("fwd_ce", fwd, state.params, batch)
+    rung("fwd_ce", fwd, params, batch)
     del fwd
 
     # 4. forward without CE (mean of logits — kills the vocab softmax)
@@ -133,11 +160,11 @@ def main():
         out = model.apply({"params": p}, b_, deterministic=True)
         return jnp.mean(out["logits"].astype(jnp.float32))
 
-    rung("fwd_nologitce", jax.jit(fwd_nologit), state.params, batch)
+    rung("fwd_nologitce", jax.jit(fwd_nologit), params, batch)
 
     # 5. fwd+bwd without CE
     gn = jax.jit(jax.value_and_grad(fwd_nologit))
-    rung("fwd_bwd_nologitce", lambda b_: gn(state.params, b_)[0], batch)
+    rung("fwd_bwd_nologitce", lambda b_: gn(params, b_)[0], batch)
     del gn
 
     # 6. fwd+bwd with XLA attention instead of Pallas
@@ -153,16 +180,8 @@ def main():
         return loss
 
     gx = jax.jit(jax.value_and_grad(loss_x))
-    rung("fwd_bwd_xla_attn", lambda b_: gx(state.params, b_)[0], batch)
+    rung("fwd_bwd_xla_attn", lambda b_: gx(params, b_)[0], batch)
     del gx
-
-    # 7. optimizer update alone (adamw over the full tree)
-    def opt_only(st_):
-        grads = jax.tree_util.tree_map(jnp.ones_like, st_.params)
-        updates, opt_state = tx.update(grads, st_.opt_state, st_.params)
-        return optax.apply_updates(st_.params, updates)
-
-    rung("adamw_update", jax.jit(opt_only), state)
 
     print("\n=== step decomposition (ms) ===")
     for k, v in results.items():
@@ -170,6 +189,7 @@ def main():
     d = results
     print("\n=== derived (ms) ===")
     print(f"optimizer (full-fwd_bwd)     {(d['full_step'] - d['fwd_bwd']) * 1e3:8.2f}")
+    print(f"dropout rbg (full-nodrop)    {(d['full_step'] - d['full_step_nodropout']) * 1e3:8.2f}")
     print(f"backward (fwd_bwd-fwd)       {(d['fwd_bwd'] - d['fwd_ce']) * 1e3:8.2f}")
     print(f"vocab CE fwd (fwd-nologit)   {(d['fwd_ce'] - d['fwd_nologitce']) * 1e3:8.2f}")
     print(f"vocab CE fwd+bwd             {(d['fwd_bwd'] - d['fwd_bwd_nologitce']) * 1e3:8.2f}")

@@ -74,12 +74,19 @@ def test_run_training_zero1_resume(tmp_path):
         grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
         lr_warmup_steps=2, log_dir=str(tmp_path), use_pallas=False, seed=0,
         dataloader_num_workers=1, prefetch_batches=2,
-        mesh_shape=(8, 1), zero1=True)
+        mesh_shape=(8, 1), zero1=True, fsdp=True)
     results = run_training(Arguments(wandb_run="z1", **common))
     assert np.isfinite(results["loss"])
 
     results = run_training(Arguments(wandb_run="z1b", resume="z1_0",
                                      **common))
+    assert np.isfinite(results["loss"])
+
+    # cross-topology restore: the dp8 fsdp/zero1-sharded checkpoint loads
+    # into a single-device evaluate-only run (train distributed, test local)
+    small = dict(common, mesh_shape=(1, 1), zero1=False, fsdp=False)
+    results = run_training(Arguments(wandb_run="z1c", test=True,
+                                     resume="z1_0", **small))
     assert np.isfinite(results["loss"])
 
 
