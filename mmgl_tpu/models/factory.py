@@ -75,6 +75,7 @@ def _t5_config(args: Arguments, size: str) -> T5Config:
         d_model=d_model, d_kv=d_kv, d_ff=d_ff, num_layers=layers,
         num_decoder_layers=layers, num_heads=heads,
         feed_forward_proj="gated-gelu" if gated else "relu",
+        dropout_rate=0.0 if size == "tiny" else 0.1,
         dtype=_dtype(args.compute_dtype if args.bf16 else "float32"),
         param_dtype=_dtype(args.param_dtype),
     )

@@ -461,7 +461,8 @@ class MMGLModel(nn.Module):
             logits = self.lm(
                 input_ids=None if inputs_embeds is not None else input_ids,
                 inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-                labels=labels, prefix_kvs=fused["prefix_kvs"])
+                labels=labels, prefix_kvs=fused["prefix_kvs"],
+                deterministic=deterministic)
             return {"logits": logits, "labels": labels}
 
         logits, _ = self.lm(

@@ -3,8 +3,10 @@
 Counterpart of the reference's `AutoModelForSeq2SeqLM` T5 path
 (modelling_self_attention.py:65-68): relative position biases, RMSNorm,
 unscaled attention, relu or gated-gelu FFN, tied LM head with d_model**-0.5
-scaling. Decoder supports KV-cache greedy decode (fixing the reference's
-broken generate, SURVEY Q5).
+scaling, and training dropout at the HF sites (embedding, each residual,
+FF inner, final norm — HF T5Config default dropout_rate=0.1, which the
+reference trains with). Decoder supports KV-cache greedy decode (fixing
+the reference's broken generate, SURVEY Q5).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 
 from mmgl_tpu.models.layers import RMSNorm
 from mmgl_tpu.ops.attention import xla_attention
+from mmgl_tpu.ops.dropout import FastDropout
 
 Cache = Dict[str, jax.Array]
 
@@ -34,6 +37,7 @@ class T5Config:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
+    dropout_rate: float = 0.1   # HF T5Config default; the reference trains with it
     feed_forward_proj: str = "relu"  # or "gated-gelu"
     tie_word_embeddings: bool = True
     pad_token_id: int = 0
@@ -168,13 +172,14 @@ class T5FFN(nn.Module):
         else:
             self.wi = nn.Dense(cfg.d_ff, **dense)
         self.wo = nn.Dense(cfg.d_model, **dense)
+        self.dropout = FastDropout(rate=cfg.dropout_rate)
 
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         if self.gated:
             h = jax.nn.gelu(self.wi_0(x), approximate=True) * self.wi_1(x)
         else:
             h = jax.nn.relu(self.wi(x))
-        return self.wo(h)
+        return self.wo(self.dropout(h, deterministic=deterministic))
 
 
 class T5Block(nn.Module):
@@ -193,20 +198,27 @@ class T5Block(nn.Module):
         self.ffn = T5FFN(cfg)
         self.ffn_norm = RMSNorm(cfg.layer_norm_epsilon, cfg.dtype,
                                 cfg.param_dtype)
+        self.dropout = FastDropout(rate=cfg.dropout_rate)
 
     def __call__(self, hidden_states, attention_mask=None, position_bias=None,
                  encoder_states=None, encoder_mask=None,
-                 cache: Optional[Cache] = None, prefix_kv=None):
+                 cache: Optional[Cache] = None, prefix_kv=None,
+                 deterministic: bool = True):
         attn, new_cache = self.self_attn(
             self.self_attn_norm(hidden_states), kv_mask=attention_mask,
             position_bias=position_bias, cache=cache, prefix_kv=prefix_kv)
-        hidden_states = hidden_states + attn
+        hidden_states = hidden_states + self.dropout(
+            attn, deterministic=deterministic)
         if self.is_decoder and encoder_states is not None:
             attn, _ = self.cross_attn(self.cross_attn_norm(hidden_states),
                                       kv_states=encoder_states,
                                       kv_mask=encoder_mask)
-            hidden_states = hidden_states + attn
-        return hidden_states + self.ffn(self.ffn_norm(hidden_states)), new_cache
+            hidden_states = hidden_states + self.dropout(
+                attn, deterministic=deterministic)
+        ffn = self.ffn(self.ffn_norm(hidden_states),
+                       deterministic=deterministic)
+        return hidden_states + self.dropout(
+            ffn, deterministic=deterministic), new_cache
 
 
 class T5Stack(nn.Module):
@@ -223,11 +235,13 @@ class T5Stack(nn.Module):
         self.relpos_bias = nn.Embed(cfg.relative_attention_num_buckets,
                                     cfg.num_heads, dtype=cfg.dtype,
                                     param_dtype=cfg.param_dtype)
+        self.dropout = FastDropout(rate=cfg.dropout_rate)
 
     def __call__(self, inputs_embeds, attention_mask=None,
                  encoder_states=None, encoder_mask=None,
                  caches: Optional[List[Cache]] = None,
-                 position_offset: int = 0, prefix_kvs=None):
+                 position_offset: int = 0, prefix_kvs=None,
+                 deterministic: bool = True):
         cfg = self.config
         s = inputs_embeds.shape[1]
         # single-step decode attends the whole cache buffer; prefill (s>1)
@@ -239,15 +253,18 @@ class T5Stack(nn.Module):
             num_buckets=cfg.relative_attention_num_buckets,
             max_distance=cfg.relative_attention_max_distance,
             q_offset=position_offset)
-        hidden_states = inputs_embeds
+        hidden_states = self.dropout(inputs_embeds,
+                                     deterministic=deterministic)
         new_caches: List[Optional[Cache]] = []
         for i, layer in enumerate(self.layers):
             hidden_states, new_cache = layer(
                 hidden_states, attention_mask, bias, encoder_states,
                 encoder_mask, caches[i] if caches is not None else None,
-                prefix_kvs[i] if prefix_kvs is not None else None)
+                prefix_kvs[i] if prefix_kvs is not None else None,
+                deterministic=deterministic)
             new_caches.append(new_cache)
-        out = self.final_layer_norm(hidden_states)
+        out = self.dropout(self.final_layer_norm(hidden_states),
+                           deterministic=deterministic)
         return out, (new_caches if caches is not None else None)
 
 
@@ -307,15 +324,25 @@ class T5ForConditionalGeneration(nn.Module):
 
     def __call__(self, input_ids=None, attention_mask=None, labels=None,
                  decoder_input_ids=None, inputs_embeds=None,
-                 decoder_attention_mask=None, prefix_kvs=None):
+                 decoder_attention_mask=None, prefix_kvs=None,
+                 deterministic: bool = True):
         cfg = self.config
-        enc = self.encode(input_ids, attention_mask, inputs_embeds)
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        enc, _ = self.encoder(inputs_embeds, attention_mask,
+                              deterministic=deterministic)
         if decoder_input_ids is None:
             decoder_input_ids = shift_right(labels, cfg.decoder_start_token_id,
                                             cfg.pad_token_id)
-        logits, _ = self.decode(decoder_input_ids, enc, attention_mask,
-                                decoder_mask=decoder_attention_mask,
-                                prefix_kvs=prefix_kvs)
+        x = self.shared(decoder_input_ids)
+        hidden, _ = self.decoder(x, decoder_attention_mask, enc,
+                                 attention_mask, None, 0, prefix_kvs,
+                                 deterministic=deterministic)
+        if cfg.tie_word_embeddings:
+            hidden = hidden * (cfg.d_model ** -0.5)
+            logits = self.shared.attend(hidden)
+        else:
+            logits = self.lm_head(hidden)
         return logits
 
     def embed(self, input_ids: jax.Array) -> jax.Array:

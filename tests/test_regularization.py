@@ -82,3 +82,40 @@ def test_remat_matches_no_remat():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g, g_r)
+
+
+def test_t5_dropout_fires_in_training_mode():
+    """T5 dropout (HF placement: embed, residuals, FF inner, final norm —
+    the reference trains t5-base with dropout_rate=0.1) must be stochastic
+    under deterministic=False and exactly off under deterministic=True."""
+    from dataclasses import replace as dc_replace
+
+    from mmgl_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                   num_decoder_layers=2, num_heads=4,
+                   relative_attention_num_buckets=8,
+                   relative_attention_max_distance=20, dropout_rate=0.5)
+    model = T5ForConditionalGeneration(cfg)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(2, 64, size=(2, 7)).astype(np.int32)
+    labels = rng.randint(2, 64, size=(2, 5)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), input_ids=ids, labels=labels)
+
+    det = model.apply(variables, input_ids=ids, labels=labels,
+                      deterministic=True)
+    a = model.apply(variables, input_ids=ids, labels=labels,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(variables, input_ids=ids, labels=labels,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(det)), "dropout inert"
+    assert not np.allclose(np.asarray(a), np.asarray(b)), "rng-independent"
+
+    # dropout_rate=0 model: deterministic == training mode exactly
+    m0 = T5ForConditionalGeneration(dc_replace(cfg, dropout_rate=0.0))
+    c = m0.apply(variables, input_ids=ids, labels=labels,
+                 deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(det))
