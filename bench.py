@@ -22,7 +22,8 @@ The constant drain/RPC overhead cancels. Each variant reports step_time_ms,
 model TFLOPs/step (6*N*T per-param matmul FLOPs incl. the tied lm_head, plus
 12*L*T^2*d attention, plus frozen-tower forward FLOPs for uncached), and
 implied MFU against the chip's bf16 peak. The bench HARD-FAILS if implied
-MFU > 60% — a number above that is async-dispatch noise, not a measurement.
+MFU > 75% — above the plausible ceiling given the 89%-of-peak achievable
+matmul rate at these shapes, i.e. async-dispatch noise, not a measurement.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor is
 a roofline estimate of the reference stack, computed inline with the
@@ -270,12 +271,18 @@ def main():
             mfu = (r["model_tflops_per_step"] * 1e12
                    / (r["step_time_ms"] / 1e3) / peak)
             r["implied_mfu"] = round(mfu, 4)
-            if mfu > 0.60:
+            # rejection guard: the matmul rate actually achievable at
+            # these shapes is 175.5 TF/s = 89% of peak (scripts/
+            # probe_peak.py); a step MFU above 0.75 would imply near-zero
+            # non-matmul time, which is async-dispatch noise, not a
+            # measurement. (Was 0.60 when the step sat at ~45%; the
+            # legitimate number now measures 55.8%.)
+            if mfu > 0.75:
                 print(json.dumps({
                     "metric": "train_sections_per_sec_per_chip",
                     "value": None, "unit": "sections/s/chip",
                     "vs_baseline": None,
-                    "error": f"implied MFU {mfu:.2f} > 0.60 for "
+                    "error": f"implied MFU {mfu:.2f} > 0.75 for "
                              f"variant={variant} — async-dispatch noise, "
                              f"measurement rejected"}))
                 sys.exit(1)
