@@ -98,6 +98,8 @@ class Arguments:
     prefetch_batches: int = 10            # loader prefetch depth (DataLoader prefetch_factor=10)
     zero1: bool = False                   # ZeRO-1: shard optimizer moments over the data axis
     fsdp: bool = False                    # ZeRO-3: shard params (and their moments) over the data axis
+    fused_ce: bool = True                 # custom-VJP CE (saves a softmax recompute; pins bf16 logits —
+                                          # set False on memory-tight billion-param configs instead of --remat)
     distributed: bool = False             # multi-host: jax.distributed.initialize()
     coordinator_address: Optional[str] = None  # host:port of process 0 (multi-host)
     num_processes: Optional[int] = None   # world size for jax.distributed

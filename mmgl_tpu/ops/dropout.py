@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def uint8_dropout(x: jax.Array, rng: jax.Array, rate: float) -> jax.Array:
+    """Dropout from uint8 thresholding; quantizes keep to n/256.
+
+    Unbiased: the inverted scale uses the QUANTIZED keep probability
+    thr/256, so E[out] == x exactly. Backend-independent math (tested on
+    CPU); FastDropout routes here only on TPU where the 4x bit saving
+    pays."""
+    keep = 1.0 - rate
+    thr = max(1, int(round(keep * 256.0)))
+    bits = jax.random.bits(rng, x.shape, jnp.uint8)
+    mask = bits < jnp.uint8(thr)
+    scale = jnp.asarray(256.0 / thr, x.dtype)
+    return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))
+
+
 class FastDropout(nn.Module):
     """Drop-in nn.Dropout: uint8-threshold masks on TPU, stock elsewhere."""
 
@@ -35,9 +50,4 @@ class FastDropout(nn.Module):
         if jax.default_backend() != "tpu":
             return nn.Dropout(rate=self.rate, deterministic=False)(
                 x, rng=self.make_rng("dropout"))
-        keep = 1.0 - self.rate
-        thr = max(1, int(round(keep * 256.0)))
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
-        mask = bits < jnp.uint8(thr)
-        scale = jnp.asarray(256.0 / thr, x.dtype)
-        return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))
+        return uint8_dropout(x, self.make_rng("dropout"), self.rate)

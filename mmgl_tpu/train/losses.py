@@ -64,9 +64,25 @@ def _ce_core_bwd(res, g):
 _ce_core.defvjp(_ce_core_fwd, _ce_core_bwd)
 
 
-def _token_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def _ce_plain(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-token CE via plain autodiff (no custom VJP).
+
+    Identical math to _ce_core; exists for memory-constrained billion-param
+    configs where pinning the bf16 logits as a VJP residual costs more HBM
+    than XLA's own remat of the head matmul would (fused_ce=False)."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logits32 = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits32, axis=-1)
+    gold = jnp.take_along_axis(logits32, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, logz - gold, 0.0)
+
+
+def _token_ce(logits: jax.Array, labels: jax.Array,
+              fused: bool = True) -> jax.Array:
     """Per-token CE in fp32; labels < 0 produce 0 with 0 weight."""
-    return _ce_core(logits, labels), labels >= 0
+    core = _ce_core if fused else _ce_plain
+    return core(logits, labels), labels >= 0
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -82,7 +98,8 @@ def seq2seq_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def causal_losses(logits: jax.Array, labels: jax.Array,
-                  max_input_length: int, pad_token_id: int):
+                  max_input_length: int, pad_token_id: int,
+                  fused_ce: bool = True):
     """(lm_loss, summary_loss) from ONE per-token CE pass.
 
     summary_loss is the same shifted CE restricted to label-span positions
@@ -90,7 +107,7 @@ def causal_losses(logits: jax.Array, labels: jax.Array,
     full-vocab logsumexp for it (as calling causal_lm_loss + summary_loss
     separately does) doubles the most bandwidth-hungry op in the step.
     """
-    ce, valid = _token_ce(logits[:, :-1], labels[:, 1:])
+    ce, valid = _token_ce(logits[:, :-1], labels[:, 1:], fused=fused_ce)
     loss = ce.sum() / jnp.maximum(valid.sum(), 1)
     pos = jnp.arange(ce.shape[1])
     shifted = labels[:, 1:]

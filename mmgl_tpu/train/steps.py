@@ -39,7 +39,9 @@ def dropout_stream_key(seed: int) -> jax.Array:
     v5e at the production OPT-125M/640-token shape, threefry dropout costs
     35.7 ms/step in the grads program vs 7.6 ms with rbg — 15% of the step
     for identically-distributed Bernoulli masks (scripts/ab_dropout.py).
-    Only the dropout/layerdrop stream changes; param init and data shuffling
+    (The mask *generation* on top of the stream is further cut by
+    FastDropout's uint8 thresholding — ops/dropout.py.) Only the
+    dropout/layerdrop stream changes; param init and data shuffling
     keep the default PRNG. CPU keeps threefry so CPU-run parity/trajectory
     tests are bit-stable across this change.
     """
@@ -49,7 +51,7 @@ def dropout_stream_key(seed: int) -> jax.Array:
 
 
 def make_loss_fn(model, decoder_only: bool, max_input_length: int,
-                 pad_token_id: int):
+                 pad_token_id: int, fused_ce: bool = True):
     def loss_fn(params, batch, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
         out = model.apply({"params": params}, batch,
@@ -59,7 +61,7 @@ def make_loss_fn(model, decoder_only: bool, max_input_length: int,
             # one CE pass yields both the training loss and the logged
             # "summary loss" metric (run_generation.py:470-481)
             loss, s_loss = causal_losses(logits, labels, max_input_length,
-                                         pad_token_id)
+                                         pad_token_id, fused_ce=fused_ce)
         else:
             loss = seq2seq_loss(logits, labels)
             s_loss = loss
@@ -70,9 +72,10 @@ def make_loss_fn(model, decoder_only: bool, max_input_length: int,
 
 def _make_grads_fn(model, tx, decoder_only: bool, max_input_length: int,
                    pad_token_id: int, grad_accumulation_steps: int,
-                   trainable_mask):
+                   trainable_mask, fused_ce: bool = True):
     """(params, batch, rng) -> (grads, metrics incl. grad_norm)."""
-    loss_fn = make_loss_fn(model, decoder_only, max_input_length, pad_token_id)
+    loss_fn = make_loss_fn(model, decoder_only, max_input_length, pad_token_id,
+                           fused_ce=fused_ce)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _norm(grads):
@@ -112,7 +115,7 @@ def _make_grads_fn(model, tx, decoder_only: bool, max_input_length: int,
 def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
                     pad_token_id: int,
                     grad_accumulation_steps: int = 1,
-                    trainable_mask=None) -> Callable:
+                    trainable_mask=None, fused_ce: bool = True) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics) — ONE fused
     program (forward + backward + optimizer update).
 
@@ -130,7 +133,7 @@ def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
     """
     grads_of = _make_grads_fn(model, tx, decoder_only, max_input_length,
                               pad_token_id, grad_accumulation_steps,
-                              trainable_mask)
+                              trainable_mask, fused_ce=fused_ce)
 
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         grads, metrics = grads_of(state.params, batch, rng)
@@ -190,7 +193,8 @@ def make_split_train_step(model, tx, decoder_only: bool,
 def make_production_train_step(model, tx, decoder_only: bool,
                                max_input_length: int, pad_token_id: int,
                                grad_accumulation_steps: int = 1,
-                               trainable_mask=None) -> Callable:
+                               trainable_mask=None,
+                               fused_ce: bool = True) -> Callable:
     """The production train step: ONE fused jitted program (forward +
     backward + optimizer update) with the input state donated.
 
@@ -202,7 +206,7 @@ def make_production_train_step(model, tx, decoder_only: bool,
     """
     step = make_train_step(model, tx, decoder_only, max_input_length,
                            pad_token_id, grad_accumulation_steps,
-                           trainable_mask)
+                           trainable_mask, fused_ce=fused_ce)
     return jax.jit(step, donate_argnums=(0,))
 
 

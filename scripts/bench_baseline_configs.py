@@ -35,11 +35,15 @@ def measure(config: int):
             max_input_length=512, max_output_length=128,
             bf16=on_tpu, use_pallas=on_tpu, remat=True)
     else:
+        # remat: at 2.7B the per-layer activation residuals (fc1 outputs
+        # alone are ~230 MB/layer at b=8) exceed 16 GB HBM with dropout on —
+        # measured 20.75G needed, and identically so with fused_ce=False,
+        # i.e. the CE residual is not the margin; activation checkpointing is
         margs = Arguments(
             model_name_or_path="opt-2.7b-mpt", context="text_only",
             neighbor_mode="embedding", peft_type="flamingo", freeze_lm=True,
             max_input_length=512, max_output_length=128,
-            bf16=on_tpu, use_pallas=on_tpu)
+            bf16=on_tpu, use_pallas=on_tpu, remat=True)
         margs.cross_attention = True
         margs.param_bf16 = True
     margs.decoder_only = True
@@ -56,6 +60,10 @@ def measure(config: int):
         "neighbor_text_pooled": rng.randn(b, n_txt, 768).astype(np.float32),
         "neighbor_pos_ids": np.tile(
             np.arange(1, n_txt + 1)[None], (b, 1)).astype(np.int32),
+        # the assembler always emits locations (assemble.py:386); text_only
+        # has no images so texts occupy slots 0..n_txt-1 in page order
+        "text_locations": np.tile(
+            np.arange(n_txt)[None], (b, 1)).astype(np.int32),
     }
     variables = model.init(jax.random.PRNGKey(0), batch)
     params = dict(variables["params"])
@@ -64,7 +72,8 @@ def measure(config: int):
     tx = build_optimizer(margs, mask)
     state = create_train_state(params, tx)
     step = make_production_train_step(
-        model, tx, True, cfg.max_input_length, 1, trainable_mask=mask)
+        model, tx, True, cfg.max_input_length, 1, trainable_mask=mask,
+        fused_ce=margs.fused_ce)
     batch = jax.device_put(batch)
     jax.block_until_ready(batch)
     key = dropout_stream_key(1)

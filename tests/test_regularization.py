@@ -119,3 +119,22 @@ def test_t5_dropout_fires_in_training_mode():
                  deterministic=False,
                  rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_array_equal(np.asarray(c), np.asarray(det))
+
+
+def test_uint8_dropout_statistics():
+    """The TPU uint8-threshold dropout math (backend-independent function):
+    drop rate matches the quantized 1 - round(keep*256)/256 and the
+    estimator is mean-preserving (E[out] == x) within sampling error."""
+    from mmgl_tpu.ops.dropout import uint8_dropout
+
+    x = jnp.ones((2000, 500), jnp.float32) * 3.0
+    out = np.asarray(uint8_dropout(x, jax.random.PRNGKey(0), rate=0.1))
+
+    dropped = (out == 0).mean()
+    expected_drop = 1.0 - round(0.9 * 256) / 256.0   # 26/256 = 0.1015625
+    np.testing.assert_allclose(dropped, expected_drop, atol=1e-3)
+    # survivors are scaled by exactly 256/thr
+    kept = out[out != 0]
+    np.testing.assert_allclose(kept, 3.0 * 256.0 / 230.0, rtol=1e-6)
+    # unbiased: E[out] == x
+    np.testing.assert_allclose(out.mean(), 3.0, rtol=2e-3)

@@ -299,3 +299,27 @@ def test_zero1_moments_sharded_and_trajectory_identical():
             "moment sharding lost after a step"
 
     np.testing.assert_allclose(losses, ref_losses, rtol=2e-5)
+
+
+def test_fused_ce_flag_equivalence():
+    """causal_losses(fused_ce=False) (plain-autodiff CE, the memory-lean
+    path for billion-param configs) must match the fused custom-VJP default
+    in loss values AND gradients."""
+    from mmgl_tpu.train.losses import causal_losses
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(2, 24, 64), jnp.float32)
+    labels = rng.randint(0, 64, (2, 24)).astype(np.int32)
+    labels[0, 3:6] = -100
+    labels = jnp.asarray(labels)
+
+    def total(lg, fused):
+        loss, s_loss = causal_losses(lg, labels, max_input_length=16,
+                                     pad_token_id=1, fused_ce=fused)
+        return loss + 0.5 * s_loss
+
+    vf, gf = jax.value_and_grad(lambda lg: total(lg, True))(logits)
+    vp, gp = jax.value_and_grad(lambda lg: total(lg, False))(logits)
+    np.testing.assert_allclose(float(vf), float(vp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                               rtol=1e-5, atol=1e-7)
