@@ -205,15 +205,31 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             # ZeRO-1: moments sharded over the data axis (see mesh.py)
             state = apply_zero1(state, mesh)
 
-    # resume (run_generation.py:336-350)
+    # resume (run_generation.py:336-350). Candidates: the best-val
+    # checkpoint AND, when --save_every_epochs wrote one, the periodic
+    # "latest" checkpoint — whichever is newer wins (mid-run kill+resume,
+    # scripts/soak.py).
     best_acc1 = 0.0
     if args.resume:
         ckpt_path = os.path.join(args.log_dir, args.resume, "ckpt")
         restored = checkpoints.restore_checkpoint(ckpt_path, state=state)
+        latest = checkpoints.restore_checkpoint(ckpt_path + "_latest",
+                                                state=state)
+        if latest is not None and (restored is None or
+                                   int(latest["epoch"])
+                                   > int(restored["epoch"])):
+            restored, ckpt_path = latest, ckpt_path + "_latest"
         if restored is not None:
             print(f"=> loaded checkpoint '{ckpt_path}' "
                   f"(epoch {restored['epoch']})")
-            args.start_epoch = int(restored["epoch"])
+            # epoch E was COMPLETE when saved: resume replays E+1 onward.
+            # Divergence from the reference, which restarts AT the saved
+            # epoch and so retrains it on post-E weights
+            # (run_generation.py:342 vs :408) — see DIVERGENCES.md; with
+            # the epoch-indexed dropout stream and (epoch, pass)-
+            # deterministic loader this makes kill+resume an exact replay
+            # of the uninterrupted trajectory.
+            args.start_epoch = int(restored["epoch"]) + 1
             best_acc1 = float(restored["best_acc1"])
             state = state.replace(
                 params=checkpoints.merge_restored_params(
@@ -274,6 +290,12 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
 
         # ---- train (run_generation.py:430-524) ----
         train_loader.set_epoch(epoch)
+        # epoch-indexed dropout stream: a killed-and-resumed run re-derives
+        # the exact keys the uninterrupted run used for this epoch (the
+        # loader is already (epoch, pass)-deterministic), so mid-training
+        # kill+resume reproduces the loss trajectory (scripts/soak.py)
+        drop_rng = jax.random.fold_in(dropout_stream_key(args.seed or 0),
+                                      epoch)
         batch_time = AverageMeter("Time", ":6.3f")
         data_time = AverageMeter("Data", ":6.3f")
         losses = AverageMeter("Loss", ":.4e")
@@ -350,6 +372,12 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             if is_main:
                 print("=> save best val model ...", args.save_dir)
             checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
+        if args.save_every_epochs and (
+                (epoch + 1) % args.save_every_epochs == 0):
+            # periodic "latest" checkpoint for mid-run kill+resume — kept
+            # separate from the best-val checkpoint the final test restores
+            checkpoints.save_checkpoint(args.save_dir + "_latest", state,
+                                        epoch, best_acc1)
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----

@@ -30,6 +30,9 @@ class Arguments:
     log_dir: str = "log"
     save_dir: Optional[str] = None
     resume: Optional[str] = None
+    # every N epochs also write a "latest" checkpoint (mid-run kill+resume;
+    # 0 = reference behavior: only the best-val checkpoint is kept)
+    save_every_epochs: int = 0
 
     # ---- precision & seeding (reference :110-118) ----
     seed: Optional[int] = None

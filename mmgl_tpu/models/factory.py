@@ -78,6 +78,7 @@ def _t5_config(args: Arguments, size: str) -> T5Config:
         dropout_rate=0.0 if size == "tiny" else 0.1,
         dtype=_dtype(args.compute_dtype if args.bf16 else "float32"),
         param_dtype=_dtype(args.param_dtype),
+        use_pallas=None if args.use_pallas else False,
     )
 
 

@@ -4,9 +4,10 @@ Counterpart of the reference's `AutoModelForSeq2SeqLM` T5 path
 (modelling_self_attention.py:65-68): relative position biases, RMSNorm,
 unscaled attention, relu or gated-gelu FFN, tied LM head with d_model**-0.5
 scaling, and training dropout at the HF sites (embedding, each residual,
-FF inner, final norm — HF T5Config default dropout_rate=0.1, which the
-reference trains with). Decoder supports KV-cache greedy decode (fixing
-the reference's broken generate, SURVEY Q5).
+FF inner, final norm, and the attention probabilities inside every
+T5Attention — HF T5Config default dropout_rate=0.1, which the reference
+trains with). Decoder supports KV-cache greedy decode (fixing the
+reference's broken generate, SURVEY Q5).
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from mmgl_tpu.models.layers import RMSNorm
-from mmgl_tpu.ops.attention import xla_attention
+from mmgl_tpu.ops.attention import multi_head_attention
 from mmgl_tpu.ops.dropout import FastDropout
 
 Cache = Dict[str, jax.Array]
@@ -45,6 +46,8 @@ class T5Config:
     decoder_start_token_id: int = 0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # None = auto-dispatch (Pallas bias kernel on TPU), False = XLA only
+    use_pallas: Optional[bool] = None
 
     @property
     def inner_dim(self) -> int:
@@ -99,7 +102,7 @@ class T5Attention(nn.Module):
 
     def __call__(self, hidden_states, kv_states=None, kv_mask=None,
                  position_bias=None, cache: Optional[Cache] = None,
-                 prefix_kv=None):
+                 prefix_kv=None, deterministic: bool = True):
         cfg = self.config
         b, s, _ = hidden_states.shape
         h, d = cfg.num_heads, cfg.d_kv
@@ -152,9 +155,17 @@ class T5Attention(nn.Module):
                 # (earliest keys) stay visible to every query
                 pass
 
-        # T5 attention is UNscaled (scale folded into init)
-        out = xla_attention(q, k, v, kv_mask=kv_mask, bias=position_bias,
-                            causal=causal, scale=1.0)
+        # T5 attention is UNscaled (scale folded into init). HF T5 drops the
+        # softmax probabilities at dropout_rate during training (ADVICE r3:
+        # torch T5Attention's nn.functional.dropout on attn_weights). On TPU
+        # bias + prob-dropout run fused in the Pallas bias kernel.
+        rate = 0.0 if deterministic else cfg.dropout_rate
+        drop_rng = self.make_rng("dropout") if rate > 0.0 else None
+        out = multi_head_attention(q, k, v, kv_mask=kv_mask,
+                                   bias=position_bias, causal=causal,
+                                   scale=1.0, dropout_rate=rate,
+                                   dropout_rng=drop_rng,
+                                   use_pallas=cfg.use_pallas)
         return self.o(out.reshape(b, s, cfg.inner_dim)), new_cache
 
 
@@ -206,13 +217,15 @@ class T5Block(nn.Module):
                  deterministic: bool = True):
         attn, new_cache = self.self_attn(
             self.self_attn_norm(hidden_states), kv_mask=attention_mask,
-            position_bias=position_bias, cache=cache, prefix_kv=prefix_kv)
+            position_bias=position_bias, cache=cache, prefix_kv=prefix_kv,
+            deterministic=deterministic)
         hidden_states = hidden_states + self.dropout(
             attn, deterministic=deterministic)
         if self.is_decoder and encoder_states is not None:
             attn, _ = self.cross_attn(self.cross_attn_norm(hidden_states),
                                       kv_states=encoder_states,
-                                      kv_mask=encoder_mask)
+                                      kv_mask=encoder_mask,
+                                      deterministic=deterministic)
             hidden_states = hidden_states + self.dropout(
                 attn, deterministic=deterministic)
         ffn = self.ffn(self.ffn_norm(hidden_states),

@@ -56,8 +56,9 @@ def multi_head_attention(
         XLA path only for now.
       causal: apply causal masking (queries attend to keys <= their position).
       scale: QK scale; default D**-0.5.
-      dropout_rate/dropout_rng: attention-prob dropout (XLA path only).
-      use_pallas: force kernel choice; None = auto (TPU and no bias/dropout).
+      dropout_rate/dropout_rng: attention-prob dropout (fused in-kernel on
+        the Pallas bias path; XLA bernoulli otherwise).
+      use_pallas: force kernel choice; None = auto.
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Returns:
@@ -67,10 +68,8 @@ def multi_head_attention(
         scale = q.shape[-1] ** -0.5
 
     wants_pallas = use_pallas if use_pallas is not None else _supports_pallas()
-    pallas_ok = (
-        bias is None
-        and pairwise_mask is None
-        and dropout_rate == 0.0
+    shapes_ok = (
+        pairwise_mask is None
         and q.shape[-1] <= 256
         and q.shape[1] >= 32  # single-step decode: XLA is cheaper than a kernel launch
         # measured on v5e: Pallas wins causal 640x640 (2.1x) and 512x512
@@ -82,7 +81,27 @@ def multi_head_attention(
         and q.shape[1] % 128 == 0
         and k.shape[1] % 128 == 0
     )
-    if wants_pallas and pallas_ok:
+    # bias / attention-prob dropout route to the bias-variant kernel
+    # (batch-shared bias only — T5's relative positions are (1, H, Sq, Sk)).
+    # Measured on v5e at the t5-base shapes (scripts/ab_t5_attention.py):
+    # the fused bias kernel wins fwd+bwd at enc 512x512 and dec 128x128;
+    # in-kernel dropout requires the TPU hardware PRNG (no interpret mode).
+    wants_bias_kernel = (bias is not None or dropout_rate > 0.0)
+    bias_ok = (
+        shapes_ok
+        and (bias is None or (bias.ndim == 4 and bias.shape[0] == 1))
+        and (dropout_rate == 0.0 or
+             (dropout_rng is not None and not interpret))
+    )
+    if wants_pallas and wants_bias_kernel and bias_ok:
+        from mmgl_tpu.ops.flash_attention import flash_attention_bias
+
+        return flash_attention_bias(
+            q, k, v, bias=bias, kv_mask=kv_mask, causal=causal, scale=scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            interpret=interpret,
+        )
+    if wants_pallas and not wants_bias_kernel and shapes_ok:
         from mmgl_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(

@@ -31,7 +31,12 @@ def uint8_dropout(x: jax.Array, rng: jax.Array, rate: float) -> jax.Array:
     CPU); FastDropout routes here only on TPU where the 4x bit saving
     pays."""
     keep = 1.0 - rate
-    thr = max(1, int(round(keep * 256.0)))
+    thr = int(round(keep * 256.0))
+    if thr >= 256:
+        # rate <= ~0.2%: keep quantizes to 256/256 == 1.0 — dropout is a
+        # no-op at uint8 resolution (and jnp.uint8(256) would overflow).
+        return x
+    thr = max(1, thr)
     bits = jax.random.bits(rng, x.shape, jnp.uint8)
     mask = bits < jnp.uint8(thr)
     scale = jnp.asarray(256.0 / thr, x.dtype)

@@ -141,3 +141,73 @@ def test_streaming_causal_kernel_matches_xla(monkeypatch):
                            interpret=True)
     np.testing.assert_allclose(np.asarray(last), np.asarray(ref[:, -36:]),
                                rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# bias-variant kernel (T5 relative-position bias, VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bias_forward_matches_xla(causal):
+    from mmgl_tpu.ops.flash_attention import flash_attention_bias
+
+    q, k, v, mask = _make_qkv(b=3, sq=64, sk=64, h=4, d=32, seed=5)
+    bias = _rand(jax.random.PRNGKey(9), 1, 4, 64, 64)
+    ref = xla_attention(q, k, v, kv_mask=mask, bias=bias, causal=causal)
+    got = flash_attention_bias(q, k, v, bias=bias, kv_mask=mask,
+                               causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_bias_forward_unpadded_and_broadcast_head():
+    from mmgl_tpu.ops.flash_attention import flash_attention_bias
+
+    # t5-ish decoder cross shape with ragged lengths + single-head bias
+    q, k, v, mask = _make_qkv(b=2, sq=50, sk=70, h=4, d=16, seed=6)
+    bias = _rand(jax.random.PRNGKey(10), 1, 1, 50, 70)
+    ref = xla_attention(q, k, v, kv_mask=mask, bias=bias)
+    got = flash_attention_bias(q, k, v, bias=bias, kv_mask=mask,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bias_gradients_match_xla(causal):
+    """dq/dk/dv AND dbias (the rel-pos embedding's gradient path) against
+    XLA autodiff; bias is batch-shared so dbias sums over batch."""
+    from mmgl_tpu.ops.flash_attention import flash_attention_bias
+
+    q, k, v, mask = _make_qkv(b=3, sq=32, sk=32, h=2, d=16, seed=7)
+    bias = _rand(jax.random.PRNGKey(11), 1, 2, 32, 32)
+
+    def loss_ref(q, k, v, bias):
+        out = xla_attention(q, k, v, kv_mask=mask, bias=bias, causal=causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_flash(q, k, v, bias):
+        out = flash_attention_bias(q, k, v, bias=bias, kv_mask=mask,
+                                   causal=causal, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-3)
+
+
+def test_bias_kernel_multi_query_block_seeding():
+    """sq large enough for >1 query block: the backward's per-block mask
+    regeneration must tile exactly like the forward (no-dropout path here;
+    the seeded path is chip-verified by scripts/verify_bias_kernel.py)."""
+    from mmgl_tpu.ops.flash_attention import flash_attention_bias
+
+    q, k, v, mask = _make_qkv(b=1, sq=256, sk=128, h=2, d=16, seed=8)
+    bias = _rand(jax.random.PRNGKey(12), 1, 2, 256, 128)
+    ref = xla_attention(q, k, v, kv_mask=mask, bias=bias, causal=True)
+    got = flash_attention_bias(q, k, v, bias=bias, kv_mask=mask, causal=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)

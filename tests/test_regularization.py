@@ -138,3 +138,42 @@ def test_uint8_dropout_statistics():
     np.testing.assert_allclose(kept, 3.0 * 256.0 / 230.0, rtol=1e-6)
     # unbiased: E[out] == x
     np.testing.assert_allclose(out.mean(), 3.0, rtol=2e-3)
+
+
+def test_uint8_dropout_tiny_rate_is_noop():
+    """rate <= ~0.2% rounds keep to 256/256: must return x unchanged rather
+    than overflow jnp.uint8(256) (ADVICE r3 medium)."""
+    from mmgl_tpu.ops.dropout import uint8_dropout
+
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    for rate in (0.001, 0.0019, 1e-6):
+        out = np.asarray(uint8_dropout(x, jax.random.PRNGKey(0), rate=rate))
+        np.testing.assert_array_equal(out, np.asarray(x))
+    # just above the quantization floor it must actually drop
+    out = np.asarray(uint8_dropout(
+        jnp.ones((512, 512)), jax.random.PRNGKey(0), rate=0.004))
+    assert (out == 0).any()
+
+
+def test_t5_attention_prob_dropout_fires():
+    """HF T5 drops the softmax probabilities inside T5Attention during
+    training (ADVICE r3); with every OTHER dropout site removed the training
+    forward must still be stochastic, proving the attn-prob site is live."""
+    from mmgl_tpu.models.t5 import T5Attention, T5Config
+
+    cfg = T5Config(d_model=16, d_kv=4, num_heads=4, dropout_rate=0.5)
+    attn = T5Attention(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 16), jnp.float32)
+    variables = attn.init(jax.random.PRNGKey(0), x)
+
+    det, _ = attn.apply(variables, x, deterministic=True)
+    a, _ = attn.apply(variables, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    b, _ = attn.apply(variables, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(det))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # deterministic path ignores the rng entirely
+    c, _ = attn.apply(variables, x, deterministic=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(det))

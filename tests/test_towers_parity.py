@@ -97,3 +97,64 @@ def test_clip_text_matches_hf():
     got_h, got_p = model.apply({"params": params}, ids)
     np.testing.assert_allclose(np.asarray(got_h), ref_h, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_p), ref_p, rtol=2e-4, atol=2e-4)
+
+
+def test_cliptext_fusion_pooling_matches_reference_semantics():
+    """With text_model="clip*" the fusion wrapper must consume the CLIP
+    tower's pooler_output DIRECTLY — no TextPooler head — exactly like the
+    reference (modelling_cross_attention.py:992-996: pooler_output for
+    clip, TextPooler(last_hidden_state) otherwise)."""
+    import jax
+
+    from mmgl_tpu.config import Arguments
+    from mmgl_tpu.models.factory import build_model
+
+    args = Arguments(
+        model_name_or_path="opt-tiny", context="text_only",
+        neighbor_mode="embedding", text_model="clip-tiny",
+        max_input_length=16, max_output_length=8, max_text_neighbors=2,
+        n_text_tokens=2, n_visual_tokens=2, use_pallas=False)
+    model, cfg = build_model(args, vocab_size=99)
+    rng = np.random.RandomState(4)
+    b, tn, sn = 2, cfg.max_text_neighbors, 12
+    batch = {
+        "input_ids": rng.randint(4, 90, (b, 24)).astype(np.int32),
+        "attention_mask": np.ones((b, 24), np.int32),
+        "labels": rng.randint(4, 90, (b, 24)).astype(np.int32),
+        "neighbor_input_ids": rng.randint(4, 90,
+                                          (b, tn, sn)).astype(np.int32),
+        "neighbor_attention_mask": np.ones((b, tn, sn), np.int32),
+        "neighbor_pos_ids": np.array([[1, 2], [1, 0]], np.int32),
+        "text_locations": np.array([[0, 1], [0, 1]], np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    params = variables["params"]
+
+    # no TextPooler head exists on the clip path (reference parity)
+    assert "text_pooler" not in params
+    assert "text_model" in params
+
+    # the fusion's pooled features == the standalone CLIP tower's
+    # pooler_output on the same ids (stop_gradient aside)
+    pooled_fusion = model.apply(
+        {"params": params},
+        batch["neighbor_input_ids"].reshape(b * tn, sn),
+        batch["neighbor_attention_mask"].reshape(b * tn, sn),
+        method="pool_text")
+    tower = CLIPTextModel(cfg.text)
+    _, pooled_direct = tower.apply(
+        {"params": params["text_model"]},
+        batch["neighbor_input_ids"].reshape(b * tn, sn),
+        batch["neighbor_attention_mask"].reshape(b * tn, sn))
+    np.testing.assert_allclose(np.asarray(pooled_fusion),
+                               np.asarray(pooled_direct),
+                               rtol=1e-5, atol=1e-6)
+
+    # end-to-end: neighbor text flows through the tower into the logits
+    out = model.apply({"params": params}, batch, deterministic=True)
+    batch2 = dict(batch)
+    batch2["neighbor_input_ids"] = rng.randint(4, 90,
+                                               (b, tn, sn)).astype(np.int32)
+    out2 = model.apply({"params": params}, batch2, deterministic=True)
+    assert not np.allclose(np.asarray(out["logits"]),
+                           np.asarray(out2["logits"]))
