@@ -239,6 +239,11 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="measure the full evaluate_loop throughput instead "
                          "(device eval + host decode + BLEU/ROUGE/CIDEr)")
+    ap.add_argument("--t5", action="store_true",
+                    help="measure the t5-base train step instead (the "
+                         "paper's primary LM; delegates to scripts/"
+                         "bench_t5.py so the number lands in BENCH "
+                         "artifacts — VERDICT r3 item 1)")
     ap.add_argument("--variants", default="cached,uncached",
                     help="comma list of step variants to measure")
     ap.add_argument("--model", default="125m",
@@ -263,6 +268,16 @@ def main():
     if args.eval:
         bench_eval(args)
         return
+    if args.t5:
+        import os
+        import subprocess
+
+        sys.exit(subprocess.call(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_t5.py"),
+             "--batch", str(16 if args.batch == 32 else args.batch),
+             "--n1", str(args.n1), "--n2", str(args.n2)]))
 
     on_tpu = jax.default_backend() == "tpu"
     kind = jax.devices()[0].device_kind

@@ -83,12 +83,25 @@ def multi_head_attention(
     )
     # bias / attention-prob dropout route to the bias-variant kernel
     # (batch-shared bias only — T5's relative positions are (1, H, Sq, Sk)).
-    # Measured on v5e at the t5-base shapes (scripts/ab_t5_attention.py):
-    # the fused bias kernel wins fwd+bwd at enc 512x512 and dec 128x128;
-    # in-kernel dropout requires the TPU hardware PRNG (no interpret mode).
+    # Measured fwd+bwd on v5e at the t5-base shapes, b=16 h=12 d=64
+    # (scripts/ab_t5_attention.py + re-measures in chip_runner2 with
+    # n2=100: sub-ms single-shot timings over the tunnel carry ~2x noise):
+    #   no dropout: enc 512x512 pallas 1.006 ms vs XLA 2.485 (2.47x WIN);
+    #     dec 128x128 causal ~0.31-0.37 vs 0.24-0.28 (~1.35x loss);
+    #     cross 128x512 0.520 vs 0.161 (3.2x loss) — at short query
+    #     blocks the per-program overhead and the serialized
+    #     dbias-accumulation grid beat the fusion win, so sq >= 384 gates
+    #     the no-dropout kernel.
+    #   WITH prob-dropout 0.1 (training): the kernel wins EVERY shape —
+    #     enc 1.320 vs 7.868 (5.96x), cross 1.910 vs 2.533 (1.33x), dec
+    #     wins too — XLA pays threefry mask generation + an
+    #     HBM-materialized (B,H,Sq,Sk) keep mask, the in-kernel hardware
+    #     PRNG pays neither.
+    # In-kernel dropout requires the TPU hardware PRNG (no interpret mode).
     wants_bias_kernel = (bias is not None or dropout_rate > 0.0)
     bias_ok = (
         shapes_ok
+        and (q.shape[1] >= 384 or dropout_rate > 0.0)
         and (bias is None or (bias.ndim == 4 and bias.shape[0] == 1))
         and (dropout_rate == 0.0 or
              (dropout_rng is not None and not interpret))
@@ -105,6 +118,29 @@ def multi_head_attention(
         from mmgl_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
+            q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
+            interpret=interpret,
+        )
+    # lane-misaligned self-attention (CLIP towers: 197 patches / 77 text
+    # tokens) → one-program-per-sequence fused-heads kernel: 0.400 ms vs
+    # 1.489 XLA at the production 197-patch b=192 shape on v5e
+    # (scripts/tune_vision_attention.py, 3.72x). Envelope: padded logits
+    # (SP, SP) fp32 + 4 (SP, H*D) tensors must fit VMEM.
+    sp = q.shape[1] + (-q.shape[1]) % 128
+    fused_heads_ok = (
+        pairwise_mask is None
+        and bias is None
+        and dropout_rate == 0.0
+        and q.shape[1] == k.shape[1]          # self-attention
+        and k.shape[2] == q.shape[2]          # no MQA broadcast
+        and q.shape[1] % 128 != 0             # aligned shapes: kernels above
+        and 64 <= q.shape[1] and sp <= 512
+        and q.shape[2] * q.shape[-1] <= 1024
+    )
+    if wants_pallas and fused_heads_ok:
+        from mmgl_tpu.ops.flash_attention import fused_heads_attention
+
+        return fused_heads_attention(
             q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
             interpret=interpret,
         )

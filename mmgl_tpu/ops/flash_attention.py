@@ -868,6 +868,138 @@ def flash_attention_bias(
     return out.reshape(h, b, sq, d).transpose(1, 2, 0, 3)
 
 
+# ---------------------------------------------------------------------------
+# fused-heads variant: lane-misaligned short sequences (CLIP towers)
+# ---------------------------------------------------------------------------
+#
+# The CLIP vision tower's 197-patch attention (b=192 images per uncached
+# step, h=12, d=64) is lane-misaligned, and the per-(b,h) kernel at the
+# padded 256 shape is fetch-bound: grid (2304, 1) re-fetches K/V per head
+# for ~8 MFLOP of work each. This kernel instead runs ONE program per
+# sequence (grid (B,)) with q/k/v laid out (B, SP, H*D): the whole padded
+# sequence stays VMEM-resident and a Python-unrolled loop computes every
+# head back to back — 12x fewer block fetches. Measured on v5e at the
+# production 197-patch shape: 0.400 ms vs 1.489 XLA / 3.204 per-(b,h)
+# Pallas (scripts/tune_vision_attention.py, 3.72x). Also serves the CLIP
+# text tower's 77-token causal attention (same misalignment).
+#
+# Forward-only by design — the towers are frozen (fusion.py stop_gradient);
+# the custom VJP recomputes gradients through the XLA path for safety if
+# anyone ever unfreezes them.
+
+
+def _fused_heads_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                        causal, s, nheads, d):
+    kv_mask = mask_ref[0, 0]                       # (SP,)
+    for h in range(nheads):
+        q = q_ref[0, :, h * d:(h + 1) * d]         # (SP, D)
+        k = k_ref[0, :, h * d:(h + 1) * d]
+        v = v_ref[0, :, h * d:(h + 1) * d]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
+        if causal:
+            q_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(q_idx >= k_idx, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _fused_heads_fwd(q, k, v, kv_mask, scale, causal, interpret):
+    """q/k/v: (B, S, H, D) BSHD with S == Sk (self-attention)."""
+    b, s, h, d = q.shape
+    q2 = _pad_to(q.reshape(b, s, h * d), 1, 128)
+    k2 = _pad_to(k.reshape(b, s, h * d), 1, 128)
+    v2 = _pad_to(v.reshape(b, s, h * d), 1, 128)
+    mask_p = _pad_to(kv_mask, 1, 128, value=0)[:, None, :]
+    sp = q2.shape[1]
+    spec = pl.BlockSpec((1, sp, h * d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_heads_kernel, scale=scale, causal=causal,
+                          s=s, nheads=h, d=d),
+        out_shape=jax.ShapeDtypeStruct(q2.shape, q.dtype),
+        grid=(b,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, 1, sp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sp * sp * h * d,
+            bytes_accessed=4 * q2.size * q.dtype.itemsize,
+            transcendentals=b * sp * sp * h,
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, mask_p)
+    return out[:, :s].reshape(b, s, h, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_heads(q, k, v, kv_mask, scale, causal, interpret):
+    return _fused_heads_fwd(q, k, v, kv_mask, scale, causal, interpret)
+
+
+def _fused_heads_ref(q, k, v, kv_mask, scale, causal):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, NEG_INF)
+    if causal:
+        s = q.shape[1]
+        idx = jnp.arange(s)
+        logits = jnp.where((idx[:, None] >= idx[None, :])[None, None],
+                           logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _fused_heads_vjp_fwd(q, k, v, kv_mask, scale, causal, interpret):
+    return (_fused_heads_fwd(q, k, v, kv_mask, scale, causal, interpret),
+            (q, k, v, kv_mask))
+
+
+def _fused_heads_vjp_bwd(scale, causal, interpret, res, dout):
+    # towers are frozen in every production config; this exists so an
+    # unfrozen tower still trains correctly (XLA recompute, no kernel)
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _fused_heads_ref(q, k, v, kv_mask, scale, causal),
+        q, k, v)
+    dq, dk, dv = vjp(dout)
+    return dq, dk, dv, None
+
+
+_fused_heads.defvjp(_fused_heads_vjp_fwd, _fused_heads_vjp_bwd)
+
+
+def fused_heads_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-program-per-sequence fused attention (see comment above)."""
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, s), dtype=jnp.int32)
+    return _fused_heads(q, k, v, kv_mask.astype(jnp.int32), float(scale),
+                        bool(causal), bool(interpret))
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--model", default="125m")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--variant", default="cached",
+                    choices=["cached", "uncached"],
+                    help="uncached re-encodes every image through the CLIP "
+                         "tower inside the step (the reference-shaped path)")
     args = ap.parse_args()
 
     import jax
@@ -75,9 +79,14 @@ def main():
         "image_positions": np.tile(
             np.arange(n_img * cfg.n_visual_tokens)[None], (b, 1)
         ).astype(np.int32),
-        "images_pooled": rng.randn(b, n_img,
-                                   cfg.vision.hidden_size).astype(np.float32),
     }
+    if args.variant == "cached":
+        batch["images_pooled"] = rng.randn(
+            b, n_img, cfg.vision.hidden_size).astype(np.float32)
+    else:
+        batch["images"] = rng.randint(
+            0, 256, (b, n_img, 3, 224, 224)).astype(np.uint8)
+        batch["images_valid"] = np.ones((b, n_img), np.int32)
     variables = model.init(jax.random.PRNGKey(0), batch)
     params = dict(variables["params"])
     mask = trainable_mask(params, "none", False)

@@ -211,3 +211,67 @@ def test_bias_kernel_multi_query_block_seeding():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused-heads kernel (lane-misaligned tower shapes, VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal,s", [(False, 197), (True, 77)])
+def test_fused_heads_forward_matches_xla(causal, s):
+    """The CLIP-tower shapes: 197 vision patches (bidirectional) and 77
+    text tokens (causal) — both lane-misaligned."""
+    from mmgl_tpu.ops.flash_attention import fused_heads_attention
+
+    q, k, v, mask = _make_qkv(b=3, sq=s, sk=s, h=4, d=32, seed=13)
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+    got = fused_heads_attention(q, k, v, kv_mask=mask, causal=causal,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_heads_gradient_fallback():
+    """Towers are frozen in production, but the VJP (XLA recompute) must
+    still give correct grads if one is unfrozen."""
+    from mmgl_tpu.ops.flash_attention import fused_heads_attention
+
+    q, k, v, mask = _make_qkv(b=2, sq=70, sk=70, h=2, d=16, seed=14)
+
+    def loss_ref(q, k, v):
+        out = xla_attention(q, k, v, kv_mask=mask)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_fused(q, k, v):
+        out = fused_heads_attention(q, k, v, kv_mask=mask, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-3)
+
+
+def test_dispatch_routes_misaligned_self_attention_to_fused_heads(
+        monkeypatch):
+    """multi_head_attention must route the 197-patch self-attention to the
+    fused-heads kernel when Pallas is requested."""
+    from mmgl_tpu.ops import attention as att
+    import mmgl_tpu.ops.flash_attention as fa
+
+    called = {}
+    orig = fa.fused_heads_attention
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "fused_heads_attention", spy)
+    q, k, v, mask = _make_qkv(b=2, sq=197, sk=197, h=4, d=32, seed=15)
+    out = att.multi_head_attention(q, k, v, kv_mask=mask, use_pallas=True,
+                                   interpret=True)
+    assert called.get("yes"), "fused-heads kernel was not dispatched"
+    ref = xla_attention(q, k, v, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
