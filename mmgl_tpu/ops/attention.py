@@ -115,8 +115,29 @@ def multi_head_attention(
             interpret=interpret,
         )
     if wants_pallas and not wants_bias_kernel and shapes_ok:
-        from mmgl_tpu.ops.flash_attention import flash_attention
+        # Aligned self-attention prefers the transpose-free allheads
+        # schedule: q/k/v stay in the (B, S, H*D) layout the projections
+        # produce, so the ~17 ms/step of BSHD<->(B*H,S,D) physical copies
+        # the captured trace charged to the per-(b,h) kernel disappear.
+        # Measured on v5e (scripts/tune_attention_allheads.py): 640-causal
+        # 3.63 -> 2.58 ms fwd+bwd (1.41x), 512 text-tower b=32 2.01 -> 1.85,
+        # b=96 6.59 -> 5.64; grads bit-identical. Envelope: per-head fp32
+        # (S, S) temporaries must fit VMEM -> sq <= 768.
+        from mmgl_tpu.ops.flash_attention import (_allheads_hp,
+                                                  flash_attention,
+                                                  flash_attention_allheads)
 
+        allheads_ok = (
+            q.shape[1] == k.shape[1]
+            and k.shape[2] == q.shape[2]      # no MQA broadcast
+            and q.shape[1] <= 768
+            and q.shape[2] % _allheads_hp(q.shape[-1]) == 0
+        )
+        if allheads_ok:
+            return flash_attention_allheads(
+                q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
+                interpret=interpret,
+            )
         return flash_attention(
             q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
             interpret=interpret,

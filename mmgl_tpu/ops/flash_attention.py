@@ -1000,6 +1000,189 @@ def fused_heads_attention(
                         bool(causal), bool(interpret))
 
 
+# ---------------------------------------------------------------------------
+# allheads variant: transpose-free layout for the LM's aligned self-attention
+# ---------------------------------------------------------------------------
+#
+# The captured cached-step trace (PARITY.md r4) shows ~17 ms/step of layout
+# copies, dominated by the BSHD -> (B*H, S, D) physical transposes that
+# bracket every per-(b,h) attention custom-call. This schedule instead takes
+# q/k/v in the (B, S, H*D) layout the QKV projections ALREADY produce
+# (reshape from BSHD is free — same physical bytes): grid (B, H/HP), block
+# (1, S, HP*D) — a contiguous column slice, no transpose anywhere. HP=2 at
+# D=64 makes the slice a full 128-lane tile and keeps the working set
+# (5 in + 3 out blocks + per-head fp32 (S,S) temporaries) inside the ~16 MB
+# VMEM envelope at S=640. Forward AND backward are Pallas (same delta-based
+# math as _bwd_kernel, per head).
+#
+# Routed only where MEASURED faster (scripts/tune_attention_allheads.py);
+# like the blocked backward, it stays selectable + parity-tested otherwise.
+
+
+def _allheads_kernel_fwd(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                         causal, sq, sk, hp, d):
+    kv_mask = mask_ref[0, 0]
+    for h in range(hp):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(qi + (sk - sq) >= ki, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _allheads_kernel_bwd(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale, causal, sq, sk,
+                         hp, d):
+    kv_mask = mask_ref[0, 0]
+    for h in range(hp):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        o = o_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(kv_mask[None, :] > 0, logits, NEG_INF)
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(qi + (sk - sq) >= ki, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_n = p.astype(q.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p_n, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _allheads_hp(d: int) -> int:
+    return 2 if d * 2 <= 128 else 1
+
+
+def _allheads_specs(s, hp, d):
+    blk = pl.BlockSpec((1, s, hp * d), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return blk, mask
+
+
+def _allheads_fwd(q2, k2, v2, kv_mask, scale, causal, interpret, h, d):
+    b, sq, _ = q2.shape
+    sk = k2.shape[1]
+    hp = _allheads_hp(d)
+    blk, mask_spec = _allheads_specs(sq, hp, d)
+    kblk, _ = _allheads_specs(sk, hp, d)
+    return pl.pallas_call(
+        functools.partial(_allheads_kernel_fwd, scale=scale, causal=causal,
+                          sq=sq, sk=sk, hp=hp, d=d),
+        out_shape=jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+        grid=(b, h // hp),
+        in_specs=[blk, kblk, kblk, mask_spec],
+        out_specs=blk,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * sk * h * d,
+            bytes_accessed=4 * q2.size * q2.dtype.itemsize,
+            transcendentals=b * sq * sk * h),
+        interpret=interpret,
+    )(q2, k2, v2, kv_mask[:, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _allheads(q2, k2, v2, kv_mask, scale, causal, interpret, h, d):
+    return _allheads_fwd(q2, k2, v2, kv_mask, scale, causal, interpret, h, d)
+
+
+def _allheads_vjp_fwd(q2, k2, v2, kv_mask, scale, causal, interpret, h, d):
+    out = _allheads_fwd(q2, k2, v2, kv_mask, scale, causal, interpret, h, d)
+    return out, (q2, k2, v2, kv_mask, out)
+
+
+def _allheads_vjp_bwd(scale, causal, interpret, h, d, res, dout):
+    q2, k2, v2, kv_mask, out = res
+    b, sq, _ = q2.shape
+    sk = k2.shape[1]
+    hp = _allheads_hp(d)
+    blk, mask_spec = _allheads_specs(sq, hp, d)
+    kblk, _ = _allheads_specs(sk, hp, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_allheads_kernel_bwd, scale=scale, causal=causal,
+                          sq=sq, sk=sk, hp=hp, d=d),
+        out_shape=(jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+                   jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                   jax.ShapeDtypeStruct(v2.shape, v2.dtype)),
+        grid=(b, h // hp),
+        in_specs=[blk, kblk, kblk, mask_spec, blk, blk],
+        out_specs=(blk, kblk, kblk),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * sq * sk * h * d,
+            bytes_accessed=8 * q2.size * q2.dtype.itemsize,
+            transcendentals=b * sq * sk * h),
+        interpret=interpret,
+    )(q2, k2, v2, kv_mask[:, None, :], dout, out)
+    return dq, dk, dv, None
+
+
+_allheads.defvjp(_allheads_vjp_fwd, _allheads_vjp_bwd)
+
+
+def flash_attention_allheads(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transpose-free fused attention over BSHD tensors (aligned S only)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    assert sq % 128 == 0 and sk % 128 == 0, "allheads needs lane-aligned S"
+    assert h % _allheads_hp(d) == 0
+    if scale is None:
+        scale = d ** -0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), dtype=jnp.int32)
+    out = _allheads(q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
+                    v.reshape(b, sk, h * d), kv_mask.astype(jnp.int32),
+                    float(scale), bool(causal), bool(interpret), h, d)
+    return out.reshape(b, sq, h, d)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

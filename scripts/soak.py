@@ -210,6 +210,11 @@ def main():
             "rss_mb_first_quartile": round(rss_first, 1),
             "rss_mb_last_quartile": round(rss_last, 1),
             "rss_mb_max": round(max(rss_kb) / 1024, 1) if rss_kb else None,
+            # the CLI's synthetic fallback tokenizes with the byte
+            # tokenizer (vocab 260), so the LM head is ~36 ms/step lighter
+            # than the 50,272-vocab headline config — this soak's
+            # sections/s measures robustness, not the bench headline
+            "vocab_size": 260,
         },
     }))
     sys.exit(0 if ok else 1)

@@ -275,3 +275,87 @@ def test_dispatch_routes_misaligned_self_attention_to_fused_heads(
     ref = xla_attention(q, k, v, kv_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# allheads variant (transpose-free aligned self-attention)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_allheads_matches_xla(causal):
+    from mmgl_tpu.ops.flash_attention import flash_attention_allheads
+
+    q, k, v, mask = _make_qkv(b=2, sq=128, sk=128, h=4, d=32, seed=21)
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+    got = flash_attention_allheads(q, k, v, kv_mask=mask, causal=causal,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_allheads_gradients_match_xla(causal):
+    from mmgl_tpu.ops.flash_attention import flash_attention_allheads
+
+    q, k, v, mask = _make_qkv(b=2, sq=128, sk=128, h=4, d=32, seed=22)
+
+    def loss_ref(q, k, v):
+        out = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ah(q, k, v):
+        out = flash_attention_allheads(q, k, v, kv_mask=mask, causal=causal,
+                                       interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_ah, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-3)
+
+
+def test_dispatch_routes_aligned_self_attention_to_allheads(monkeypatch):
+    """Aligned (S%128==0) self-attention must take the transpose-free
+    allheads schedule (measured 1.41x at the 640-causal LM shape)."""
+    from mmgl_tpu.ops import attention as att
+    import mmgl_tpu.ops.flash_attention as fa
+
+    called = {}
+    orig = fa.flash_attention_allheads
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention_allheads", spy)
+    q, k, v, mask = _make_qkv(b=2, sq=128, sk=128, h=4, d=32, seed=23)
+    out = att.multi_head_attention(q, k, v, kv_mask=mask, causal=True,
+                                   use_pallas=True, interpret=True)
+    assert called.get("yes"), "allheads kernel was not dispatched"
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_dispatch_falls_back_past_allheads_envelope(monkeypatch):
+    """Beyond the allheads VMEM envelope (S>768) the blocked per-(b,h)
+    kernel must still be dispatched."""
+    from mmgl_tpu.ops import attention as att
+    import mmgl_tpu.ops.flash_attention as fa
+
+    called = {}
+    orig = fa.flash_attention
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_attention", spy)
+    q, k, v, mask = _make_qkv(b=1, sq=896, sk=896, h=2, d=32, seed=24)
+    out = att.multi_head_attention(q, k, v, kv_mask=mask, causal=True,
+                                   use_pallas=True, interpret=True)
+    assert called.get("yes"), "blocked kernel was not dispatched"
+    ref = xla_attention(q, k, v, kv_mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
