@@ -9,7 +9,6 @@ numpy dicts with fixed shapes, ready for jnp.device_put / pjit sharding.
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Dict, Iterator, List
 
@@ -74,7 +73,6 @@ class PrefetchLoader:
                    for i in range(0, len(order), self.batch_size)]
         if not batches:
             return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         lock = threading.Lock()
         cursor = {"next_fetch": 0, "next_emit": 0}
@@ -83,7 +81,18 @@ class PrefetchLoader:
 
         def worker():
             while not stop.is_set():
-                with lock:
+                with cond:
+                    # honor the prefetch bound: without it, workers race
+                    # through the whole pass and park every batch in `done`
+                    # (unbounded host memory — at the raw-image shapes a
+                    # 27-batch pass is ~780 MB). Up to num_workers batches
+                    # are additionally in flight past the bound.
+                    while (not stop.is_set()
+                           and cursor["next_fetch"] - cursor["next_emit"]
+                           >= self.prefetch):
+                        cond.wait(timeout=0.1)
+                    if stop.is_set():
+                        return
                     i = cursor["next_fetch"]
                     if i >= len(batches):
                         return
@@ -105,9 +114,13 @@ class PrefetchLoader:
                         if stop.is_set():
                             return
                     batch = done.pop(i)
+                    cursor["next_emit"] = i + 1
+                    cond.notify_all()
                 yield batch
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
 
 
 def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -197,3 +197,39 @@ def test_loader_multipass_epoch_determinism():
     assert a[0] != a[1] or a[1] != a[2]
     # and the whole schedule is reproducible
     assert run(0) == a and run(1) == b
+
+
+def test_loader_prefetch_bound():
+    """Workers must honor the prefetch bound: at most prefetch+num_workers
+    batches may be assembled ahead of the consumer (r4: the bound was dead
+    code — every pass materialized fully, ~780 MB transient at the 27-batch
+    raw-image shape)."""
+    import threading
+    import time
+
+    fetched = []
+    lock = threading.Lock()
+
+    class _Counting:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                fetched.append(i)
+            return {"i": np.asarray([i], np.int32)}
+
+    prefetch, workers, bs = 2, 2, 2
+    ld = PrefetchLoader(_Counting(), batch_size=bs, prefetch=prefetch,
+                        num_workers=workers)
+    max_ahead = 0
+    consumed = 0
+    for _ in ld:
+        consumed += 1
+        time.sleep(0.03)  # slow consumer lets workers run as far as allowed
+        with lock:
+            ahead = len(fetched) // bs - consumed
+        max_ahead = max(max_ahead, ahead)
+    assert consumed == 32
+    assert max_ahead <= prefetch + workers, (
+        f"workers ran {max_ahead} batches ahead (bound {prefetch + workers})")
