@@ -93,6 +93,17 @@ def _honor_platform_env():
 
 def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     _honor_platform_env()
+    if args.compilation_cache_dir and str(
+            args.compilation_cache_dir).lower() not in ("", "none"):
+        cache_dir = os.path.expanduser(args.compilation_cache_dir)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # cache every program (default skips sub-second compiles)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception as e:
+            print(f"[xla-cache] disabled: {e}")
     if args.distributed:
         # multi-host (DCN): replaces mp.spawn + dist.init_process_group
         # (run_generation.py:265-283)
@@ -326,11 +337,43 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         # while the device executes the current (async-dispatched) step, so
         # input streaming overlaps compute instead of serializing with it
         sharded = next_sharded(0)
+        dbg = os.environ.get("MMGL_DEBUG_DUMP")
         for u in range(updates_per_epoch):
             data_time.update(time.time() - end)
             drop_rng, step_rng = jax.random.split(drop_rng)
+            if dbg and u < 64:
+                # replay-divergence forensics: per-update inputs + output.
+                # MMGL_DEBUG_DUMP=<file> appends one line per early update;
+                # diffing a fresh run against a resumed run pinpoints which
+                # stream (rng key / batch bytes / params / step math) breaks
+                # first when a kill+resume is not an exact replay.
+                import hashlib
+                kd = np.asarray(jax.random.key_data(step_rng)).tolist()
+                bh = hashlib.md5(b"".join(
+                    np.ascontiguousarray(np.asarray(sharded[k])).tobytes()
+                    for k in sorted(sharded))).hexdigest()[:12]
+                ph = hashlib.md5(b"".join(
+                    np.ascontiguousarray(np.asarray(x)).tobytes()
+                    for x in jax.tree_util.tree_leaves(state.params)
+                )).hexdigest()[:12] if u == 0 else "-"
+                # arg-signature fingerprint: if values match but the loss
+                # differs, the jit signature (dtype/sharding/layout of any
+                # state leaf) picked a different executable
+                sig = hashlib.md5("|".join(
+                    f"{x.aval}/{x.sharding}/{getattr(x, 'format', '')}"
+                    for x in jax.tree_util.tree_leaves(state)
+                    if isinstance(x, jax.Array)).encode()
+                ).hexdigest()[:12] if u == 0 else "-"
+                with open(dbg, "a") as f:
+                    f.write(f"epoch={epoch} u={u} key={kd} batch={bh} "
+                            f"params={ph} sig={sig} "
+                            f"step={int(state.step)}\n")
             with mesh:
                 state, metrics = train_step(state, sharded, step_rng)
+            if dbg and u < 64:
+                with open(dbg, "a") as f:
+                    f.write(f"epoch={epoch} u={u} "
+                            f"loss={float(metrics['loss']):.10e}\n")
             if u + 1 < updates_per_epoch:
                 sharded = next_sharded(u + 1)
             batch_time.update(time.time() - end)

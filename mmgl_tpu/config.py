@@ -111,6 +111,15 @@ class Arguments:
     profile_dir: Optional[str] = None     # jax.profiler trace output (TPU-native
                                           # upgrade of the wall-clock meters,
                                           # SURVEY §5 tracing)
+    compilation_cache_dir: Optional[str] = "~/.cache/mmgl_tpu_xla"
+                                          # persistent XLA compile cache. Besides
+                                          # skipping recompiles across runs, it
+                                          # pins the EXECUTABLE a resumed process
+                                          # runs to the one the original run
+                                          # compiled — which pins the rbg dropout
+                                          # bit-stream (executable-dependent per
+                                          # jax PRNG docs) and keeps kill+resume
+                                          # an exact replay. "" / "none" disables.
 
     def __post_init__(self):
         if isinstance(self.mesh_shape, list):

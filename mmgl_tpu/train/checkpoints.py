@@ -17,6 +17,18 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+_CKPTR = None
+
+
+def _checkpointer() -> "ocp.PyTreeCheckpointer":
+    """One process-wide checkpointer: each PyTreeCheckpointer owns thread
+    pools, and constructing a fresh one per save (2x per epoch over a long
+    run) accumulates host memory (r4 soak RSS finding)."""
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.PyTreeCheckpointer()
+    return _CKPTR
+
 
 def _strip_towers(params: Dict) -> Dict:
     return {k: v for k, v in params.items()
@@ -37,8 +49,7 @@ def save_checkpoint(path: str, state, epoch: int, best_acc1: float,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
     }
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    _checkpointer().save(path, payload, force=True)
 
 
 def restore_checkpoint(path: str, state=None,
@@ -55,7 +66,7 @@ def restore_checkpoint(path: str, state=None,
     path = os.path.abspath(path)
     if not os.path.exists(path):
         return None
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     if state is None:
         return ckptr.restore(path)
     params = state.params if keep_towers else _strip_towers(state.params)
@@ -80,7 +91,34 @@ def restore_checkpoint(path: str, state=None,
         "step": np.asarray(0),
     }
     restore_args = ocp.checkpoint_utils.construct_restore_args(template)
-    return ckptr.restore(path, item=template, restore_args=restore_args)
+    restored = ckptr.restore(path, item=template, restore_args=restore_args)
+    return _canonicalize_restored(restored)
+
+
+def _canonicalize_restored(tree):
+    """Round-trip restored device arrays through host + device_put.
+
+    Orbax-restored arrays can carry on-device layouts that differ from
+    what the fresh-init path (device_put of host values) produces. A jit
+    train step then compiles a DIFFERENT executable for the resumed run —
+    numerically fine for matmuls, but the TPU `rbg` dropout PRNG's
+    bit-stream is only stable per-executable (jax PRNG docs: RngBitGenerator
+    output may vary across compilations), so a layout-changed resume
+    silently re-randomizes the dropout stream. The r4 soak caught this as a
+    non-exact kill+resume replay (every post-resume loss window differed,
+    reproducibly). The roundtrip re-creates each leaf exactly the way the
+    fresh path does — same sharding, default layout — so the resumed step
+    hits the original executable (and its rbg stream) again. Values are
+    copied bitwise. Non-fully-addressable (multi-host-sharded) leaves are
+    left untouched: they cannot be materialized locally, and the multi-host
+    path re-shards explicitly.
+    """
+    def _c(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return jax.device_put(np.asarray(x), x.sharding)
+        return x
+
+    return jax.tree_util.tree_map(_c, tree)
 
 
 def merge_restored_params(current: Dict, restored: Dict) -> Dict:

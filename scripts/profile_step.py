@@ -47,6 +47,9 @@ def main():
                     choices=["cached", "uncached"],
                     help="uncached re-encodes every image through the CLIP "
                          "tower inside the step (the reference-shaped path)")
+    ap.add_argument("--family", default="opt", choices=["opt", "t5"],
+                    help="t5 traces the bench_t5.py step (t5-<model>, "
+                         "enc 512 / dec 128, Adafactor) instead of OPT")
     args = ap.parse_args()
 
     import jax
@@ -61,32 +64,48 @@ def main():
                                       make_production_train_step)
 
     on_tpu = jax.default_backend() == "tpu"
-    margs = Arguments(
-        model_name_or_path=f"opt-{args.model}", context="all",
-        neighbor_mode="raw", max_input_length=512, max_output_length=128,
-        n_visual_tokens=4, max_image_neighbors=5,
-        bf16=on_tpu, use_pallas=on_tpu)
-    margs.decoder_only = True
-    model, cfg = build_model(margs, vocab_size=50272)
     b = args.batch
     rng = np.random.RandomState(0)
-    t = cfg.max_input_length + cfg.max_output_length
-    n_img = 1 + cfg.max_image_neighbors
-    batch = {
-        "input_ids": rng.randint(4, 50000, (b, t)).astype(np.int32),
-        "attention_mask": np.ones((b, t), np.int32),
-        "labels": rng.randint(4, 50000, (b, t)).astype(np.int32),
-        "image_positions": np.tile(
-            np.arange(n_img * cfg.n_visual_tokens)[None], (b, 1)
-        ).astype(np.int32),
-    }
-    if args.variant == "cached":
-        batch["images_pooled"] = rng.randn(
-            b, n_img, cfg.vision.hidden_size).astype(np.float32)
+    if args.family == "t5":
+        model_name = "base" if args.model == "125m" else args.model
+        margs = Arguments(
+            model_name_or_path=f"t5-{model_name}", context="section_only",
+            neighbor_mode="raw", max_input_length=512, max_output_length=128,
+            bf16=on_tpu, use_pallas=on_tpu)
+        margs.decoder_only = False
+        model, cfg = build_model(margs, vocab_size=32128)
+        batch = {
+            "input_ids": rng.randint(
+                4, 32000, (b, cfg.max_input_length)).astype(np.int32),
+            "attention_mask": np.ones((b, cfg.max_input_length), np.int32),
+            "labels": rng.randint(
+                4, 32000, (b, cfg.max_output_length)).astype(np.int32),
+        }
     else:
-        batch["images"] = rng.randint(
-            0, 256, (b, n_img, 3, 224, 224)).astype(np.uint8)
-        batch["images_valid"] = np.ones((b, n_img), np.int32)
+        margs = Arguments(
+            model_name_or_path=f"opt-{args.model}", context="all",
+            neighbor_mode="raw", max_input_length=512, max_output_length=128,
+            n_visual_tokens=4, max_image_neighbors=5,
+            bf16=on_tpu, use_pallas=on_tpu)
+        margs.decoder_only = True
+        model, cfg = build_model(margs, vocab_size=50272)
+        t = cfg.max_input_length + cfg.max_output_length
+        n_img = 1 + cfg.max_image_neighbors
+        batch = {
+            "input_ids": rng.randint(4, 50000, (b, t)).astype(np.int32),
+            "attention_mask": np.ones((b, t), np.int32),
+            "labels": rng.randint(4, 50000, (b, t)).astype(np.int32),
+            "image_positions": np.tile(
+                np.arange(n_img * cfg.n_visual_tokens)[None], (b, 1)
+            ).astype(np.int32),
+        }
+        if args.variant == "cached":
+            batch["images_pooled"] = rng.randn(
+                b, n_img, cfg.vision.hidden_size).astype(np.float32)
+        else:
+            batch["images"] = rng.randint(
+                0, 256, (b, n_img, 3, 224, 224)).astype(np.uint8)
+            batch["images_valid"] = np.ones((b, n_img), np.int32)
     variables = model.init(jax.random.PRNGKey(0), batch)
     params = dict(variables["params"])
     mask = trainable_mask(params, "none", False)
@@ -96,8 +115,9 @@ def main():
     jax.block_until_ready(batch)
     key = dropout_stream_key(1)
 
-    step = make_production_train_step(model, tx, True,
-                                      cfg.max_input_length, 1)
+    step = make_production_train_step(model, tx, args.family == "opt",
+                                      cfg.max_input_length,
+                                      0 if args.family == "t5" else 1)
     state, m = step(state, batch, key)  # compile
     float(m["loss"])
 

@@ -131,6 +131,12 @@ def main():
     ap.add_argument("--kill_epoch", type=int, default=None,
                     help="epoch whose midpoint kills run B "
                          "(default: epochs//2)")
+    ap.add_argument("--resume_only", action="store_true",
+                    help="runA.log and runB.log already exist in --workdir "
+                         "(e.g. the harness itself was SIGKILLed mid-soak, "
+                         "taking run B's whole process tree with it): skip "
+                         "straight to the resume phase and verify against "
+                         "the existing logs")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     kill_epoch = args.kill_epoch if args.kill_epoch is not None \
@@ -140,32 +146,48 @@ def main():
     env = dict(os.environ)
     total = args.epochs * args.steps
 
-    # ---- run A: uninterrupted, RSS-polled ----
-    print(f"[soak] run A: {args.epochs}x{args.steps} steps b={args.batch}",
-          file=sys.stderr)
-    rss = []
-    t0 = time.time()
-    rc, _ = run_watched(cli_cmd(args, "soakA"),
-                        os.path.join(args.workdir, "runA.log"),
-                        rss_samples=rss, env=env)
-    t_a = time.time() - t0
-    assert rc == 0, f"run A failed rc={rc}"
-    loss_a, times_a = parse_losses(os.path.join(args.workdir, "runA.log"))
-    assert len(loss_a) >= total // args.print_freq - 2, (
-        f"run A printed only {len(loss_a)} loss windows")
+    if args.resume_only:
+        t_a, rss = None, []
+        loss_a, times_a = parse_losses(os.path.join(args.workdir,
+                                                    "runA.log"))
+        assert len(loss_a) >= total // args.print_freq - 2, (
+            f"run A printed only {len(loss_a)} loss windows")
+        pre, _ = parse_losses(os.path.join(args.workdir, "runB.log"))
+        kill_epoch = max(e for e, _ in pre)
+    else:
+        # ---- run A: uninterrupted, RSS-polled ----
+        print(f"[soak] run A: {args.epochs}x{args.steps} steps "
+              f"b={args.batch}", file=sys.stderr)
+        rss = []
+        t0 = time.time()
+        rc, _ = run_watched(cli_cmd(args, "soakA"),
+                            os.path.join(args.workdir, "runA.log"),
+                            rss_samples=rss, env=env)
+        t_a = time.time() - t0
+        assert rc == 0, f"run A failed rc={rc}"
+        loss_a, times_a = parse_losses(
+            os.path.join(args.workdir, "runA.log"))
+        assert len(loss_a) >= total // args.print_freq - 2, (
+            f"run A printed only {len(loss_a)} loss windows")
 
-    # ---- run B: killed mid-epoch, then resumed ----
-    print(f"[soak] run B: kill at {kill_marker!r}", file=sys.stderr)
-    rc, killed = run_watched(cli_cmd(args, "soakB"),
-                             os.path.join(args.workdir, "runB.log"),
-                             kill_marker=kill_marker, env=env)
-    assert killed and rc != 0, f"run B was not killed (rc={rc})"
+        # ---- run B: killed mid-epoch, then resumed ----
+        print(f"[soak] run B: kill at {kill_marker!r}", file=sys.stderr)
+        rc, killed = run_watched(cli_cmd(args, "soakB"),
+                                 os.path.join(args.workdir, "runB.log"),
+                                 kill_marker=kill_marker, env=env)
+        assert killed and rc != 0, f"run B was not killed (rc={rc})"
 
     print("[soak] run B resume", file=sys.stderr)
     rc, _ = run_watched(cli_cmd(args, "soakB", ["--resume", "soakB_0"]),
                         os.path.join(args.workdir, "runB_resume.log"),
+                        rss_samples=rss if args.resume_only else None,
                         env=env)
     assert rc == 0, f"resume failed rc={rc}"
+    if args.resume_only:
+        # run A's wallclock from its per-epoch summary lines
+        ep_re = re.compile(r"Epoch \d+ time: ([0-9.]+)s")
+        with open(os.path.join(args.workdir, "runA.log")) as f:
+            t_a = sum(float(m.group(1)) for m in map(ep_re.search, f) if m)
     loss_b1, _ = parse_losses(os.path.join(args.workdir, "runB.log"))
     loss_b2, _ = parse_losses(
         os.path.join(args.workdir, "runB_resume.log"))
@@ -187,8 +209,8 @@ def main():
     step_first, step_last = (sum(steady[:q]) / q, sum(steady[-q:]) / q)
     rss_kb = [v for _, v in rss]
     qr = max(1, len(rss_kb) // 4)
-    rss_first = sum(rss_kb[:qr]) / qr / 1024
-    rss_last = sum(rss_kb[-qr:]) / qr / 1024
+    rss_first = sum(rss_kb[:qr]) / qr / 1024 if rss_kb else None
+    rss_last = sum(rss_kb[-qr:]) / qr / 1024 if rss_kb else None
 
     ok = not mism_pre and not mism_post and not missing
     print(json.dumps({
@@ -210,6 +232,9 @@ def main():
             "rss_mb_first_quartile": round(rss_first, 1),
             "rss_mb_last_quartile": round(rss_last, 1),
             "rss_mb_max": round(max(rss_kb) / 1024, 1) if rss_kb else None,
+            # resume_only: RSS polled over the resume process (the only
+            # one alive in this invocation), wallclock from runA.log
+            "resume_only": args.resume_only,
             # the CLI's synthetic fallback tokenizes with the byte
             # tokenizer (vocab 260), so the LM head is ~36 ms/step lighter
             # than the 50,272-vocab headline config — this soak's
