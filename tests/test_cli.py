@@ -207,3 +207,29 @@ def test_cross_attention_mode_alias():
     args = Arguments(model_name_or_path="mpt-tiny",
                      neighbor_mode="cross_attention")
     assert args.neighbor_mode == "embedding"
+
+
+def test_debug_dump_forensics_hook(tmp_path, monkeypatch):
+    """MMGL_DEBUG_DUMP writes per-update (key, batch-md5, param-md5, loss)
+    lines — the replay-divergence forensics used to root-cause the r4 soak.
+    Two identical runs must produce identical dumps."""
+    dumps = []
+    for i in range(2):
+        dump = tmp_path / f"dump{i}.txt"
+        monkeypatch.setenv("MMGL_DEBUG_DUMP", str(dump))
+        args = Arguments(
+            model_name_or_path="opt-tiny", context="section_only",
+            neighbor_mode="raw", max_input_length=32, max_output_length=16,
+            per_device_train_batch_size=2, per_device_val_batch_size=2,
+            epochs=1, steps_per_epoch=3, val_steps_per_epoch=1,
+            grad_accumulation_steps=1, print_freq=1, learning_rate=1e-3,
+            lr_warmup_steps=2, log_dir=str(tmp_path / f"run{i}"),
+            use_pallas=False, seed=0,
+            dataloader_num_workers=1, prefetch_batches=2)
+        run_training(args)
+        lines = dump.read_text().strip().splitlines()
+        assert len(lines) == 6   # 3 updates x (inputs line + loss line)
+        assert "key=" in lines[0] and "params=" in lines[0]
+        assert lines[1].endswith(lines[1].split("loss=")[-1])
+        dumps.append(lines)
+    assert dumps[0] == dumps[1], "identical runs produced different dumps"
