@@ -221,6 +221,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     # "latest" checkpoint — whichever is newer wins (mid-run kill+resume,
     # scripts/soak.py).
     best_acc1 = 0.0
+    restored_fp = None
     if args.resume:
         ckpt_path = os.path.join(args.log_dir, args.resume, "ckpt")
         restored = checkpoints.restore_checkpoint(ckpt_path, state=state)
@@ -233,6 +234,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         if restored is not None:
             print(f"=> loaded checkpoint '{ckpt_path}' "
                   f"(epoch {restored['epoch']})")
+            restored_fp = checkpoints.load_fingerprint(ckpt_path)
             # epoch E was COMPLETE when saved: resume replays E+1 onward.
             # Divergence from the reference, which restarts AT the saved
             # epoch and so retrains it on post-E weights
@@ -292,6 +294,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         return results
 
     results = {}
+    train_updates = 0
+    step_fp = None   # executable fingerprint, computed once at first update
     updates_per_epoch = max(1, args.steps_per_epoch // accum)
     for epoch in range(args.start_epoch, args.epochs):
         epoch_start = time.time()
@@ -341,6 +345,33 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
         for u in range(updates_per_epoch):
             data_time.update(time.time() - end)
             drop_rng, step_rng = jax.random.split(drop_rng)
+            if step_fp is None:
+                # once per run, BEFORE the first step (donation invalidates
+                # the input state's buffers): fingerprint the executable
+                # this run compiles. A resumed run whose fingerprint differs
+                # from the original's recompiles a different program — the
+                # rbg dropout stream re-randomizes and kill+resume is no
+                # longer an exact replay (r4 soak root-cause). Detect and
+                # surface it instead of failing silently.
+                try:
+                    with mesh:
+                        step_fp = checkpoints.executable_fingerprint(
+                            train_step, state, sharded, step_rng)
+                except Exception as e:   # forensics must never kill a run
+                    print(f"[replay] fingerprint unavailable: {e}")
+                    step_fp = {"hash": "unavailable"}
+                if restored_fp is not None:
+                    match = restored_fp.get("hash") == step_fp.get("hash")
+                    log({"replay/executable_match": float(match)},
+                        int(state.step))
+                    if not match:
+                        print("[replay] WARNING: resumed executable "
+                              f"fingerprint {step_fp.get('hash')} != "
+                              f"checkpoint's {restored_fp.get('hash')} "
+                              "(jax upgrade / flag / code / shape change?) "
+                              "— the rbg dropout stream differs and this "
+                              "resume is NOT an exact replay of the "
+                              "original trajectory.")
             if dbg and u < 64:
                 # replay-divergence forensics: per-update inputs + output.
                 # MMGL_DEBUG_DUMP=<file> appends one line per early update;
@@ -370,6 +401,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                             f"step={int(state.step)}\n")
             with mesh:
                 state, metrics = train_step(state, sharded, step_rng)
+            train_updates += 1
             if dbg and u < 64:
                 with open(dbg, "a") as f:
                     f.write(f"epoch={epoch} u={u} "
@@ -415,12 +447,17 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
             if is_main:
                 print("=> save best val model ...", args.save_dir)
             checkpoints.save_checkpoint(args.save_dir, state, epoch, acc1)
+            if is_main and step_fp is not None:
+                checkpoints.save_fingerprint(args.save_dir, step_fp)
         if args.save_every_epochs and (
                 (epoch + 1) % args.save_every_epochs == 0):
             # periodic "latest" checkpoint for mid-run kill+resume — kept
             # separate from the best-val checkpoint the final test restores
             checkpoints.save_checkpoint(args.save_dir + "_latest", state,
                                         epoch, best_acc1)
+            if is_main and step_fp is not None:
+                checkpoints.save_fingerprint(args.save_dir + "_latest",
+                                             step_fp)
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----
@@ -437,6 +474,7 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     results = evaluate_loop(test_loader, model, state, eval_step, generate_fn,
                             tokenizer, args, fcfg, mesh, args.epochs, log,
                             prefix="test")
+    results["train_updates"] = float(train_updates)
     if wandb_run is not None:
         wandb_run.finish()
     return results

@@ -27,7 +27,9 @@ class PrefetchLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.drop_last = drop_last
-        self.prefetch = prefetch
+        # prefetch <= 0 would make the worker bound permanently true
+        # (next_fetch - next_emit >= 0) and deadlock the consumer
+        self.prefetch = max(1, prefetch)
         self.num_workers = max(1, num_workers)
         self.epoch = 0
         self.pass_idx = 0

@@ -101,6 +101,12 @@ def multi_head_attention(
     wants_bias_kernel = (bias is not None or dropout_rate > 0.0)
     bias_ok = (
         shapes_ok
+        # VMEM ceiling: _bwd_bias holds full (sq, sk) fp32 logits/p/dlogits
+        # plus an fp32 dbias block in one unblocked program; cap at the
+        # measured envelope so oversized shapes fall back to XLA instead of
+        # failing VMEM allocation at compile/run time.
+        and q.shape[1] <= 768
+        and k.shape[1] <= 1024
         and (q.shape[1] >= 384 or dropout_rate > 0.0)
         and (bias is None or (bias.ndim == 4 and bias.shape[0] == 1))
         and (dropout_rate == 0.0 or

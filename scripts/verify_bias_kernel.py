@@ -67,8 +67,8 @@ def extract_keep_factors(rng, b, h, sq, sk, rate):
 
     def kern(seed_ref, o_ref):
         i, j = pl.program_id(0), pl.program_id(1)
-        o_ref[0] = _gen_keep_factor(seed_ref[0], i, j, (bq, sk_p), thr32,
-                                    keep_inv)
+        o_ref[0] = _gen_keep_factor(seed_ref[0], seed_ref[1], i, j,
+                                    (bq, sk_p), thr32, keep_inv)
 
     return pl.pallas_call(
         kern,

@@ -1,6 +1,7 @@
 """End-to-end CLI smoke: tiny model, synthetic corpus, train + eval + test."""
 
 import os
+import re
 
 import numpy as np
 import pytest
@@ -78,9 +79,14 @@ def test_run_training_zero1_resume(tmp_path):
     results = run_training(Arguments(wandb_run="z1", **common))
     assert np.isfinite(results["loss"])
 
+    # resume with epochs=2 so start_epoch = saved_epoch + 1 leaves a real
+    # training epoch to run: the restored ZeRO-1 state must take train steps
+    # (apply_zero1 re-applied post-restore), not just evaluate.
     results = run_training(Arguments(wandb_run="z1b", resume="z1_0",
-                                     **common))
+                                     **dict(common, epochs=2)))
     assert np.isfinite(results["loss"])
+    assert results.get("train_updates", 0) > 0, \
+        "resumed ZeRO-1 run took no training steps"
 
     # cross-topology restore: the dp8 fsdp/zero1-sharded checkpoint loads
     # into a single-device evaluate-only run (train distributed, test local)
@@ -230,6 +236,6 @@ def test_debug_dump_forensics_hook(tmp_path, monkeypatch):
         lines = dump.read_text().strip().splitlines()
         assert len(lines) == 6   # 3 updates x (inputs line + loss line)
         assert "key=" in lines[0] and "params=" in lines[0]
-        assert lines[1].endswith(lines[1].split("loss=")[-1])
+        assert re.search(r"loss=\d+\.\d+e[+-]\d+$", lines[1]), lines[1]
         dumps.append(lines)
     assert dumps[0] == dumps[1], "identical runs produced different dumps"
