@@ -10,6 +10,8 @@ towers are frozen and reloadable from their pretrained checkpoints.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -92,11 +94,19 @@ def restore_checkpoint(path: str, state=None,
     }
     restore_args = ocp.checkpoint_utils.construct_restore_args(template)
     restored = ckptr.restore(path, item=template, restore_args=restore_args)
-    return _canonicalize_restored(restored)
+    # committedness of the live (fresh-constructed) state, leaf-for-leaf:
+    # restored leaves must mirror it exactly (see _canonicalize_restored)
+    committed_like = jax.tree_util.tree_map(
+        lambda x: bool(getattr(x, "committed", False)),
+        {"epoch": np.asarray(0), "best_acc1": np.asarray(0.0, np.float32),
+         "params": params, "opt_state": state.opt_state,
+         "step": np.asarray(0)})
+    return _canonicalize_restored(restored, committed_like)
 
 
-def _canonicalize_restored(tree):
-    """Round-trip restored device arrays through host + device_put.
+def _canonicalize_restored(tree, committed_like=None):
+    """Round-trip restored device arrays through host + device_put,
+    mirroring the fresh path's committedness leaf-for-leaf.
 
     Orbax-restored arrays can carry on-device layouts that differ from
     what the fresh-init path (device_put of host values) produces. A jit
@@ -107,18 +117,83 @@ def _canonicalize_restored(tree):
     silently re-randomizes the dropout stream. The r4 soak caught this as a
     non-exact kill+resume replay (every post-resume loss window differed,
     reproducibly). The roundtrip re-creates each leaf exactly the way the
-    fresh path does — same sharding, default layout — so the resumed step
-    hits the original executable (and its rbg stream) again. Values are
-    copied bitwise. Non-fully-addressable (multi-host-sharded) leaves are
-    left untouched: they cannot be materialized locally, and the multi-host
-    path re-shards explicitly.
+    fresh path does — same sharding, default layout.
+
+    Committedness matters as much as sharding (r5 finding, caught by the
+    executable fingerprint): jit lowers COMMITTED inputs with explicit
+    `sharding=` parameter annotations and uncommitted ones without, so a
+    blanket device_put-with-sharding here made the resumed run lower a
+    different module than the fresh run — missing the persistent
+    compilation cache and recompiling (which is exactly what re-randomizes
+    rbg). The fresh path leaves params committed (shard_params / ZeRO-1
+    device_puts) but tx.init moments, optimizer counts, and step
+    UNCOMMITTED; `committed_like` carries that pattern from the live state
+    and each restored leaf is device_put with (committed) or without
+    (uncommitted) an explicit sharding accordingly. Values are copied
+    bitwise either way. Non-fully-addressable (multi-host-sharded) leaves
+    are left untouched: they cannot be materialized locally, and the
+    multi-host path re-shards explicitly.
     """
-    def _c(x):
+    def _c(x, committed=True):
         if isinstance(x, jax.Array) and x.is_fully_addressable:
-            return jax.device_put(np.asarray(x), x.sharding)
+            if committed:
+                return jax.device_put(np.asarray(x), x.sharding)
+            return jax.device_put(np.asarray(x))   # uncommitted, default dev
         return x
 
-    return jax.tree_util.tree_map(_c, tree)
+    if committed_like is None:
+        return jax.tree_util.tree_map(_c, tree)
+    return jax.tree_util.tree_map(_c, tree, committed_like)
+
+
+def executable_fingerprint(jitted_step, *example_args) -> Dict[str, str]:
+    """Fingerprint of the train-step EXECUTABLE a run will compile.
+
+    Exact kill+resume replay is conditional on the resumed process running
+    the *identical compiled executable* as the original run: the TPU `rbg`
+    dropout PRNG's bit-stream is only stable per-executable (the r4 soak
+    root-cause). XLA's persistent compilation cache keys on (lowered module,
+    compiler version, flags, topology); we hash the same inputs —
+    lowered StableHLO text + jax version + backend + device kind +
+    LIBTPU/XLA flag env — so fingerprint match + engaged cache implies the
+    resumed run replays the original rbg stream. Mismatch means the resume
+    recompiles a DIFFERENT executable (jax upgrade, flag change, cleared
+    cache dir won't change the hash but a code/shape change will) and the
+    replay-exactness contract is void: previously a silent condition, now a
+    detected one (VERDICT r4 weak #4).
+
+    Lowering is a pure re-trace (no compile); costs seconds once per run.
+    """
+    lowered = jitted_step.lower(*example_args)
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    ctx = {
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
+    }
+    h.update(json.dumps(ctx, sort_keys=True).encode())
+    return {"hash": h.hexdigest()[:16], **ctx}
+
+
+def save_fingerprint(path: str, info: Dict[str, str]):
+    """Sidecar JSON next to the orbax dir (kept out of the orbax tree so
+    old checkpoints restore unchanged)."""
+    with open(os.path.abspath(path) + ".fp.json", "w") as f:
+        json.dump(info, f, indent=1)
+
+
+def load_fingerprint(path: str) -> Optional[Dict[str, str]]:
+    fp_path = os.path.abspath(path) + ".fp.json"
+    if not os.path.exists(fp_path):
+        return None
+    try:
+        with open(fp_path) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def merge_restored_params(current: Dict, restored: Dict) -> Dict:
