@@ -117,6 +117,133 @@ def causal_losses(logits: jax.Array, labels: jax.Array,
     return loss, s_loss
 
 
+def _pad_vocab(emb: jax.Array, n_chunks: int):
+    v, d = emb.shape
+    vc = -(-v // n_chunks)
+    vc += (-vc) % 128          # lane-aligned chunk width
+    vpad = n_chunks * vc
+    if vpad != v:
+        emb = jnp.pad(emb, ((0, vpad - v), (0, 0)))
+    return emb.reshape(n_chunks, vc, d), vc
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chunked_ce(hidden: jax.Array, emb: jax.Array, labels: jax.Array,
+               n_chunks: int = 8) -> jax.Array:
+    """Per-token CE with the LM head folded in, streamed over vocab chunks.
+
+    Computes CE(hidden @ emb.T, labels) WITHOUT ever materializing the full
+    (B, T, V) logits or dlogits in HBM: a lax.scan over V/n_chunks-wide
+    slices of the head keeps the live tensor at 1/n_chunks of the logits
+    (online logsumexp accumulation, flash-attention-style). The backward
+    recomputes each chunk's logits (one extra vocab matmul vs the
+    materialized path) and accumulates dhidden/demb per chunk.
+
+    Trade: +1 vocab matmul of FLOPs against -(B,T,V) residual memory and
+    the full dlogits round-trip. Measured A/B (scripts/ab_ce.py) decides
+    dispatch; target: the 8.2 ms softmax/dlogits elementwise traffic in the
+    r4 trace's CE cluster (VERDICT r4 item 7), and the memory headroom for
+    OPT-6.7B where pinning bf16 logits costs 2 GB+.
+
+    hidden: (B, T, D); emb: (V, D) tied head; labels: (B, T), < 0 ignored.
+    """
+    ce, _ = _chunked_ce_fwd(hidden, emb, labels, n_chunks)
+    return ce
+
+
+def _chunked_ce_fwd(hidden, emb, labels, n_chunks):
+    v = emb.shape[0]
+    embc, vc = _pad_vocab(emb, n_chunks)
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    bt = hidden.shape[:-1]
+
+    def body(carry, xs):
+        m, s, gold = carry
+        c, emb_c = xs
+        logits_c = jax.lax.dot_general(
+            hidden, emb_c, (((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, T, vc) f32
+        base = c * vc
+        vocab_idx = jax.lax.broadcasted_iota(jnp.int32, logits_c.shape,
+                                             logits_c.ndim - 1) + base
+        logits_c = jnp.where(vocab_idx < v, logits_c, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(logits_c, axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(logits_c - m_new[..., None]), axis=-1)
+        in_chunk = (safe >= base) & (safe < base + vc)
+        idx = jnp.clip(safe - base, 0, vc - 1)
+        g = jnp.take_along_axis(logits_c, idx[..., None], axis=-1)[..., 0]
+        gold = gold + jnp.where(in_chunk, g, 0.0)
+        return (m_new, s, gold), None
+
+    init = (jnp.full(bt, -jnp.inf, jnp.float32),
+            jnp.zeros(bt, jnp.float32), jnp.zeros(bt, jnp.float32))
+    (m, s, gold), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), embc))
+    logz = jnp.log(s) + m
+    ce = jnp.where(valid, logz - gold, 0.0)
+    return ce, (hidden, emb, safe, valid, logz)
+
+
+def _chunked_ce_bwd(n_chunks, res, g):
+    hidden, emb, safe, valid, logz = res
+    v = emb.shape[0]
+    embc, vc = _pad_vocab(emb, n_chunks)
+    gf = jnp.where(valid, g, 0.0).astype(jnp.float32)
+
+    def body(dh, xs):
+        c, emb_c = xs
+        logits_c = jax.lax.dot_general(
+            hidden, emb_c, (((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        base = c * vc
+        vocab_idx = jax.lax.broadcasted_iota(jnp.int32, logits_c.shape,
+                                             logits_c.ndim - 1) + base
+        p = jnp.where(vocab_idx < v,
+                      jnp.exp(logits_c - logz[..., None]), 0.0)
+        eq = vocab_idx == safe[..., None]
+        dlog = ((p - eq.astype(jnp.float32))
+                * gf[..., None]).astype(hidden.dtype)  # (B, T, vc)
+        dh = dh + jax.lax.dot_general(
+            dlog, emb_c, (((dlog.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # demb_c = sum over (B, T) of dlog^T hidden -> (vc, D)
+        bt_axes = tuple(range(dlog.ndim - 1))
+        demb_c = jax.lax.dot_general(
+            dlog, hidden, ((bt_axes, bt_axes), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dh, demb_c
+
+    dh0 = jnp.zeros(hidden.shape, jnp.float32)
+    dh, demb = jax.lax.scan(body, dh0, (jnp.arange(n_chunks), embc))
+    demb = demb.reshape(n_chunks * vc, emb.shape[1])[:v]
+    return (dh.astype(hidden.dtype), demb.astype(emb.dtype),
+            np.zeros(safe.shape, dtype=jax.dtypes.float0))
+
+
+chunked_ce.defvjp(_chunked_ce_fwd, _chunked_ce_bwd)
+
+
+def chunked_causal_losses(hidden: jax.Array, emb: jax.Array,
+                          labels: jax.Array, max_input_length: int,
+                          pad_token_id: int, n_chunks: int = 8):
+    """(lm_loss, summary_loss) like causal_losses, but head-fused/chunked:
+    consumes pre-head hidden states + the tied embedding instead of logits."""
+    ce = chunked_ce(hidden[:, :-1], emb, labels[:, 1:], n_chunks)
+    valid = labels[:, 1:] >= 0
+    loss = ce.sum() / jnp.maximum(valid.sum(), 1)
+    pos = jnp.arange(ce.shape[1])
+    shifted = labels[:, 1:]
+    span = valid & (pos[None, :] >= max_input_length) \
+        & (shifted != pad_token_id)
+    s_loss = (ce * span).sum() / jnp.maximum(span.sum(), 1)
+    return loss, s_loss
+
+
 def summary_loss(logits: jax.Array, labels: jax.Array, max_input_length: int,
                  pad_token_id: int) -> jax.Array:
     """Decoder-only logging loss over the label span only

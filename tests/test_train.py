@@ -323,3 +323,52 @@ def test_fused_ce_flag_equivalence():
     np.testing.assert_allclose(float(vf), float(vp), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_chunked_ce_matches_materialized():
+    """chunked_ce streams the vocab in chunks (the (B,T,V) logits/dlogits
+    never materialize); value and grads wrt hidden AND the tied embedding
+    must match the materialized attend+CE path, including ignore labels,
+    a vocab size that does not divide the chunk count, and labels in the
+    zero-padded tail region of the last chunk."""
+    from mmgl_tpu.train.losses import (causal_losses, chunked_causal_losses,
+                                       chunked_ce)
+
+    rng = np.random.RandomState(11)
+    b, t, d, v = 3, 19, 16, 203     # v = 203: pads to 2 chunks of 128
+    hidden = jnp.asarray(rng.randn(b, t, d), jnp.float32) * 0.3
+    emb = jnp.asarray(rng.randn(v, d), jnp.float32) * 0.2
+    labels = rng.randint(0, v, (b, t)).astype(np.int32)
+    labels[0, 2:5] = -100
+    labels[1, 0] = v - 1            # last row of the padded chunk
+    labels = jnp.asarray(labels)
+    mil = 8
+
+    def mat(h, e):
+        logits = jnp.einsum("btd,vd->btv", h, e)
+        loss, s_loss = causal_losses(logits, labels, mil, 1)
+        return loss + 0.5 * s_loss
+
+    v0, g0 = jax.value_and_grad(mat, argnums=(0, 1))(hidden, emb)
+    for n_chunks in (1, 2, 4):
+        def ch(h, e, n=n_chunks):
+            loss, s_loss = chunked_causal_losses(h, e, labels, mil, 1,
+                                                 n_chunks=n)
+            return loss + 0.5 * s_loss
+
+        v1, g1 = jax.value_and_grad(ch, argnums=(0, 1))(hidden, emb)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a, b_ in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=1e-5)
+
+    # forward-only entry point agrees with the per-token reference too
+    ce = chunked_ce(hidden, emb, labels, 2)
+    logits = jnp.einsum("btd,vd->btv", hidden, emb).astype(jnp.float32)
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    ref = jnp.where(valid, logz - gold, 0.0)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
