@@ -359,3 +359,35 @@ def test_dispatch_falls_back_past_allheads_envelope(monkeypatch):
     ref = xla_attention(q, k, v, kv_mask=mask, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal,sq,sk", [(True, 128, 128), (False, 128, 256)])
+def test_bias_backward_batched_matches_serial(monkeypatch, causal, sq, sk):
+    """The batched bias backward (grid (H,), in-kernel batch loop — built
+    for the T5 decoder 128-query shapes where the row-serial grid's
+    dbias serialization loses to XLA) must produce the same gradients as
+    the row-serial kernel, including dbias summed over batch."""
+    from mmgl_tpu.ops import flash_attention as fa
+
+    q, k, v, mask = _make_qkv(b=3, sq=sq, sk=sk, h=2, d=16, seed=21)
+    bias = _rand(jax.random.PRNGKey(22), 1, 2, sq, sk)
+
+    def loss(q, k, v, bias):
+        out = fa.flash_attention_bias(q, k, v, bias=bias, kv_mask=mask,
+                                      causal=causal, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    grads = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MMGL_BIAS_BWD_BATCHED", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(grads["0"], grads["1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and the batched path's dispatch envelope: the encoder 512 shape must
+    # stay on the measured row-serial kernel in auto mode
+    monkeypatch.delenv("MMGL_BIAS_BWD_BATCHED", raising=False)
+    assert not fa._bwd_bias_batched_ok(512, 512, 64, 16)
+    assert fa._bwd_bias_batched_ok(128, 128, 64, 16)
+    assert fa._bwd_bias_batched_ok(128, 512, 64, 16)
