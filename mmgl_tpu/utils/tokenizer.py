@@ -126,11 +126,24 @@ class HFTokenizerAdapter:
 def get_tokenizer(path: Optional[str] = None):
     """Local HF tokenizer if a path is given, else the byte tokenizer.
 
+    `byte:<vocab>` (e.g. `byte:50272`) returns the byte tokenizer with its
+    REPORTED vocab padded to <vocab>: ids above 259 are never emitted, but
+    the model builds its embedding table and (B, T, V) logits at the
+    production width — the knob the r5 soak uses to exercise step-time/RSS
+    stability at the reference's 50,272-entry vocab
+    (train_generation.sh:6-30) without a downloaded vocabulary.
+
     Fast tokenizers are preferred (a dir shipping only tokenizer.json has no
     slow class to fall back to); the reference's AutoTokenizer default is
     also fast (run_generation.py:289-300)."""
     if path is None:
         return ByteTokenizer()
+    if path.startswith("byte:"):
+        tok = ByteTokenizer()
+        padded = int(path.split(":", 1)[1])
+        assert padded >= 260, f"byte vocab pad {padded} < 260"
+        tok.vocab_size = padded   # instance attr shadows the class attr
+        return tok
     from transformers import AutoTokenizer
 
     try:

@@ -104,3 +104,17 @@ def test_hf_adapter_through_assembler():
     assert s["input_ids"].shape == (64,)
     assert s["labels"].shape == (64,)
     assert s["attention_mask"].max() == 1
+
+
+def test_padded_byte_tokenizer():
+    """byte:<vocab> pads the REPORTED vocab (model embedding/logits width)
+    while emitting only byte-range ids — the production-vocab soak knob."""
+    from mmgl_tpu.utils import get_tokenizer
+
+    tok = get_tokenizer("byte:50272")
+    assert tok.vocab_size == 50272
+    enc = tok("hi", max_length=8, padding="max_length", truncation=True)
+    assert enc.input_ids.max() < 260
+    assert tok.batch_decode(enc.input_ids)[0] == "hi"
+    # the plain tokenizer is unaffected (class attr not mutated)
+    assert get_tokenizer().vocab_size == 260
