@@ -133,7 +133,10 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     init_batch["images"] = rng.randint(
         0, 256, (b, n_img, 3, image_size, image_size)).astype(np.uint8)
     init_batch["images_valid"] = np.ones((b, n_img), np.int32)
-    if variant == "cached":
+    if variant in ("cached", "chunked"):
+        # "chunked" = the cached step with the vocab-chunked CE
+        # (--chunked_ce) instead of the materialized fused CE: same math,
+        # head folded into the loss (A/B for VERDICT r4 item 7)
         batch_np["images_pooled"] = rng.randn(
             b, n_img, tower_hidden).astype(np.float32)
     else:
@@ -161,7 +164,8 @@ def build(variant: str, quick: bool, batch: int, size: str = "125m"):
     state = create_train_state(params, tx)
     step = make_production_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
-        pad_token_id=1, grad_accumulation_steps=1)
+        pad_token_id=1, grad_accumulation_steps=1,
+        chunked_ce=8 if variant == "chunked" else 0)
     return step, state, batch_np, b, flops_section
 
 

@@ -262,7 +262,8 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     train_step = make_production_train_step(
         model, tx, fcfg.decoder_only, args.max_input_length, pad_id,
         grad_accumulation_steps=accum, trainable_mask=mask,
-        fused_ce=args.fused_ce)
+        fused_ce=args.fused_ce,
+        chunked_ce=args.chunked_ce if fcfg.decoder_only else 0)
     eval_step = jax.jit(make_eval_step(
         model, fcfg.decoder_only, args.max_input_length, pad_id))
     generate_fn = jax.jit(partial(greedy_generate, model,

@@ -103,6 +103,9 @@ class Arguments:
     fsdp: bool = False                    # ZeRO-3: shard params (and their moments) over the data axis
     fused_ce: bool = True                 # custom-VJP CE (saves a softmax recompute; pins bf16 logits —
                                           # set False on memory-tight billion-param configs instead of --remat)
+    chunked_ce: int = 0                   # >0: vocab-chunked CE with the tied head folded in (n_chunks);
+                                          # the (B,T,V) logits/dlogits never materialize. OPT-family only.
+                                          # Adoption measurement-gated (scripts/ab_ce.py --chunked)
     distributed: bool = False             # multi-host: jax.distributed.initialize()
     coordinator_address: Optional[str] = None  # host:port of process 0 (multi-host)
     num_processes: Optional[int] = None   # world size for jax.distributed

@@ -244,19 +244,25 @@ class MMGLModel(nn.Module):
     # ------------------------------------------------------------------
 
     def __call__(self, batch: Dict[str, jax.Array],
-                 deterministic: bool = True) -> Dict[str, jax.Array]:
-        """Returns {"logits": ..., "labels": adjusted labels}."""
+                 deterministic: bool = True,
+                 return_hidden: bool = False) -> Dict[str, jax.Array]:
+        """Returns {"logits": ..., "labels": adjusted labels} — or
+        {"hidden": pre-head states, "labels": ...} with return_hidden=True
+        (OPT-family only; the vocab-chunked CE folds the head into the
+        loss, train/losses.py chunked_ce)."""
         cfg = self.config
         fused = self._fuse(batch)
         if cfg.uses_mpt_memory:
-            logits, _ = self.lm(
+            out, _ = self.lm(
                 input_ids=fused["input_ids"],
                 attention_mask=fused["attention_mask"],
                 neighbor_embeds=fused["neighbor_embeds"],
                 neighbor_mask=fused["neighbor_mask"],
-                deterministic=deterministic)
-            return {"logits": logits, "labels": fused["labels"]}
-        return self._lm_forward(fused, deterministic)
+                deterministic=deterministic, return_hidden=return_hidden)
+            key = "hidden" if return_hidden else "logits"
+            return {key: out, "labels": fused["labels"]}
+        return self._lm_forward(fused, deterministic,
+                                return_hidden=return_hidden)
 
     def _fuse(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
         """Shared fusion: neighbor encode + embed splice/append + PEFT
@@ -450,7 +456,8 @@ class MMGLModel(nn.Module):
             labels = jnp.concatenate([labels, pad], axis=1)
         return inputs_embeds, attention_mask, labels
 
-    def _lm_forward(self, fused: Dict[str, Any], deterministic: bool):
+    def _lm_forward(self, fused: Dict[str, Any], deterministic: bool,
+                    return_hidden: bool = False):
         cfg = self.config
         input_ids = fused["input_ids"]
         inputs_embeds = fused["inputs_embeds"]
@@ -458,6 +465,10 @@ class MMGLModel(nn.Module):
         labels = fused["labels"]
 
         if cfg.lm_type == "t5":
+            assert not return_hidden, (
+                "chunked CE is OPT-family only (T5's tied head rescales "
+                "hidden by d_model**-0.5 and trains with Adafactor; its CE "
+                "cluster is not the bottleneck)")
             logits = self.lm(
                 input_ids=None if inputs_embeds is not None else input_ids,
                 inputs_embeds=inputs_embeds, attention_mask=attention_mask,
@@ -465,8 +476,10 @@ class MMGLModel(nn.Module):
                 deterministic=deterministic)
             return {"logits": logits, "labels": labels}
 
-        logits, _ = self.lm(
+        out, _ = self.lm(
             input_ids=None if inputs_embeds is not None else input_ids,
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            prefix_kvs=fused["prefix_kvs"], deterministic=deterministic)
-        return {"logits": logits, "labels": labels}
+            prefix_kvs=fused["prefix_kvs"], deterministic=deterministic,
+            return_hidden=return_hidden)
+        key = "hidden" if return_hidden else "logits"
+        return {key: out, "labels": labels}

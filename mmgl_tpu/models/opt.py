@@ -395,6 +395,7 @@ class OPTForCausalLM(nn.Module):
         prefix_kvs: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
         position_ids: Optional[jax.Array] = None,
         deterministic: bool = True,
+        return_hidden: bool = False,
     ):
         cfg = self.config
         hidden_states, new_caches = self.decoder(
@@ -402,6 +403,12 @@ class OPTForCausalLM(nn.Module):
             inputs_embeds=inputs_embeds, neighbor_embeds=neighbor_embeds,
             neighbor_mask=neighbor_mask, caches=caches, prefix_kvs=prefix_kvs,
             position_ids=position_ids, deterministic=deterministic)
+        if return_hidden:
+            # pre-head states (post project_out: already in the tied
+            # embedding's width) for the vocab-chunked CE, which folds the
+            # head matmul into the loss (train/losses.py chunked_ce)
+            assert cfg.tie_word_embeddings, "chunked CE needs the tied head"
+            return hidden_states, new_caches
         if cfg.tie_word_embeddings:
             logits = self.decoder.embed_tokens.attend(hidden_states)
         else:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from mmgl_tpu.train.losses import causal_losses, seq2seq_loss
+from mmgl_tpu.train.losses import (causal_losses, chunked_causal_losses,
+                                   seq2seq_loss)
 
 
 class TrainState(struct.PyTreeNode):
@@ -51,7 +52,28 @@ def dropout_stream_key(seed: int) -> jax.Array:
 
 
 def make_loss_fn(model, decoder_only: bool, max_input_length: int,
-                 pad_token_id: int, fused_ce: bool = True):
+                 pad_token_id: int, fused_ce: bool = True,
+                 chunked_ce: int = 0):
+    if chunked_ce > 0:
+        assert decoder_only, "chunked CE is decoder-only (tied OPT head)"
+
+        def loss_fn(params, batch, rng=None):
+            rngs = {"dropout": rng} if rng is not None else None
+            out = model.apply({"params": params}, batch,
+                              deterministic=rng is None, rngs=rngs,
+                              return_hidden=True)
+            # the tied head's table: autodiff sums this leaf's gradient
+            # contributions from the chunked head matmul here AND the
+            # token-embedding lookup inside the forward — exactly the
+            # tied-weights gradient the attend() path produces
+            emb = params["lm"]["decoder"]["embed_tokens"]["embedding"]
+            loss, s_loss = chunked_causal_losses(
+                out["hidden"], emb, out["labels"], max_input_length,
+                pad_token_id, n_chunks=chunked_ce)
+            return loss, {"loss": loss, "summary_loss": s_loss}
+
+        return loss_fn
+
     def loss_fn(params, batch, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
         out = model.apply({"params": params}, batch,
@@ -72,10 +94,11 @@ def make_loss_fn(model, decoder_only: bool, max_input_length: int,
 
 def _make_grads_fn(model, tx, decoder_only: bool, max_input_length: int,
                    pad_token_id: int, grad_accumulation_steps: int,
-                   trainable_mask, fused_ce: bool = True):
+                   trainable_mask, fused_ce: bool = True,
+                   chunked_ce: int = 0):
     """(params, batch, rng) -> (grads, metrics incl. grad_norm)."""
     loss_fn = make_loss_fn(model, decoder_only, max_input_length, pad_token_id,
-                           fused_ce=fused_ce)
+                           fused_ce=fused_ce, chunked_ce=chunked_ce)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _norm(grads):
@@ -115,7 +138,8 @@ def _make_grads_fn(model, tx, decoder_only: bool, max_input_length: int,
 def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
                     pad_token_id: int,
                     grad_accumulation_steps: int = 1,
-                    trainable_mask=None, fused_ce: bool = True) -> Callable:
+                    trainable_mask=None, fused_ce: bool = True,
+                    chunked_ce: int = 0) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics) — ONE fused
     program (forward + backward + optimizer update).
 
@@ -133,7 +157,8 @@ def make_train_step(model, tx, decoder_only: bool, max_input_length: int,
     """
     grads_of = _make_grads_fn(model, tx, decoder_only, max_input_length,
                               pad_token_id, grad_accumulation_steps,
-                              trainable_mask, fused_ce=fused_ce)
+                              trainable_mask, fused_ce=fused_ce,
+                              chunked_ce=chunked_ce)
 
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         grads, metrics = grads_of(state.params, batch, rng)
@@ -194,7 +219,8 @@ def make_production_train_step(model, tx, decoder_only: bool,
                                max_input_length: int, pad_token_id: int,
                                grad_accumulation_steps: int = 1,
                                trainable_mask=None,
-                               fused_ce: bool = True) -> Callable:
+                               fused_ce: bool = True,
+                               chunked_ce: int = 0) -> Callable:
     """The production train step: ONE fused jitted program (forward +
     backward + optimizer update) with the input state donated.
 
@@ -206,7 +232,8 @@ def make_production_train_step(model, tx, decoder_only: bool,
     """
     step = make_train_step(model, tx, decoder_only, max_input_length,
                            pad_token_id, grad_accumulation_steps,
-                           trainable_mask, fused_ce=fused_ce)
+                           trainable_mask, fused_ce=fused_ce,
+                           chunked_ce=chunked_ce)
     return jax.jit(step, donate_argnums=(0,))
 
 

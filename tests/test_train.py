@@ -372,3 +372,48 @@ def test_chunked_ce_matches_materialized():
     ref = jnp.where(valid, logz - gold, 0.0)
     np.testing.assert_allclose(np.asarray(ce), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_ce_step_matches_materialized():
+    """Full train step with chunked_ce=4 (head folded into the loss, logits
+    never materialized) vs the default path: loss, summary_loss, and the
+    updated params — including the tied embedding, whose gradient is the
+    SUM of the lookup and head contributions — must match."""
+    from mmgl_tpu.models.factory import build_model
+    from mmgl_tpu.peft import trainable_mask
+    from mmgl_tpu.train.optim import build_optimizer
+    from mmgl_tpu.train.steps import create_train_state, make_train_step
+
+    args = Arguments(model_name_or_path="opt-tiny", max_input_length=16,
+                     max_output_length=8, use_pallas=False,
+                     learning_rate=1e-2, lr_warmup_steps=1)
+    model, _ = build_model(args, vocab_size=64)
+    rng = np.random.RandomState(3)
+    batch = {"input_ids": rng.randint(2, 60, (2, 24)).astype(np.int32),
+             "attention_mask": np.ones((2, 24), np.int32),
+             "labels": rng.randint(2, 60, (2, 24)).astype(np.int32)}
+    batch["labels"][0, 20:] = -100
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    mask = trainable_mask(variables["params"], "none", False)
+
+    results = {}
+    for n_chunks in (0, 4):
+        tx = build_optimizer(args, mask)
+        state = create_train_state(dict(variables["params"]), tx)
+        step = jax.jit(make_train_step(model, tx, decoder_only=True,
+                                       max_input_length=16, pad_token_id=1,
+                                       chunked_ce=n_chunks))
+        state, metrics = step(state, batch, jax.random.PRNGKey(5))
+        results[n_chunks] = (state.params, metrics)
+
+    m0, m4 = results[0][1], results[4][1]
+    np.testing.assert_allclose(float(m4["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m4["summary_loss"]),
+                               float(m0["summary_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m4["grad_norm"]),
+                               float(m0["grad_norm"]), rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6),
+        results[4][0], results[0][0])
