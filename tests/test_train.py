@@ -417,3 +417,26 @@ def test_chunked_ce_step_matches_materialized():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6),
         results[4][0], results[0][0])
+
+
+def test_chunked_ce_sharded_step_matches_unsharded():
+    """chunked_ce under pjit: the embedding is fsdp-sharded over 'data' and
+    the vocab scan must compile and match the 1-device chunked step."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    args, model, cfg, state, tx, batch, mask = _setup()
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in batch.items()}
+    step = jax.jit(make_train_step(model, tx, cfg.decoder_only, S_IN, 0,
+                                   chunked_ce=4))
+    _, m1 = step(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh((4, 2))
+    with mesh:
+        params = shard_params(dict(state.params), mesh, fsdp=True)
+        state_s = create_train_state(params, tx)
+        sharded = shard_batch(batch, mesh)
+        _, m8 = step(state_s, sharded, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(m8["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=2e-3)
