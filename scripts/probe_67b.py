@@ -16,6 +16,11 @@ V = 50272, bf16 = 2 bytes):
 so bf16 params + b=2 remat'd activations + bf16 logits ~ 14.2 GB -> the
 probe attempts b=1/2/4 and prints the first fitting configuration.
 
+The chunked-CE attempts (spec 4th field) fold the head into the loss
+(train/losses.py chunked_ce): the b*T*V logits residual drops to b*T*V/n
+transient per scan slice, freeing 0.064 GB/ex (bf16) — the largest
+per-example term — at +1 vocab matmul of backward recompute.
+
 Run ON CHIP:  python scripts/probe_67b.py [--size 6.7b] [--peft lora]
 """
 
@@ -29,7 +34,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def attempt(size, peft, b, remat, fused_ce):
+def attempt(size, peft, b, remat, fused_ce, chunked=0):
     import jax
 
     from mmgl_tpu.config import Arguments
@@ -44,7 +49,7 @@ def attempt(size, peft, b, remat, fused_ce):
         neighbor_mode="raw", max_input_length=512, max_output_length=128,
         bf16=True, use_pallas=True, param_dtype="bfloat16",
         peft_type=peft, freeze_lm=True, lora_r=16, lora_alpha=32,
-        remat=remat, fused_ce=fused_ce)
+        remat=remat, fused_ce=fused_ce, chunked_ce=chunked)
     margs.decoder_only = True
     model, cfg = build_model(margs, vocab_size=50272)
 
@@ -72,7 +77,8 @@ def attempt(size, peft, b, remat, fused_ce):
 
     step = make_production_train_step(
         model, tx, decoder_only=True, max_input_length=cfg.max_input_length,
-        pad_token_id=1, trainable_mask=mask, fused_ce=fused_ce)
+        pad_token_id=1, trainable_mask=mask, fused_ce=fused_ce,
+        chunked_ce=chunked)
     key = jax.random.PRNGKey(1)
     state, m = step(state, batch, key)
     loss = float(m["loss"])
@@ -94,6 +100,7 @@ def attempt(size, peft, b, remat, fused_ce):
     stats = jax.devices()[0].memory_stats() or {}
     return {
         "batch": b, "remat": remat, "fused_ce": fused_ce,
+        "chunked_ce": chunked,
         "params_b": round(n_params / 1e9, 3),
         "trainable_m": round(n_train / 1e6, 2),
         "step_time_ms": round(dt * 1e3, 1),
@@ -108,8 +115,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="6.7b")
     ap.add_argument("--peft", default="lora")
-    ap.add_argument("--configs", default="1:1:0,2:1:0,4:1:0,4:0:0",
-                    help="comma list of batch:remat:fused_ce attempts")
+    ap.add_argument("--configs",
+                    default="1:1:0,2:1:0,4:1:0,4:0:0,4:0:0:8,8:1:0:8",
+                    help="comma list of batch:remat:fused_ce[:chunked] "
+                         "attempts (chunked = vocab-chunked CE n_chunks: "
+                         "the (B,T,V) logits residual disappears — the "
+                         "6.7B memory equation's largest per-example term)")
     ap.add_argument("--one", default=None, help="internal: run one attempt "
                     "in-process and print its JSON")
     args = ap.parse_args()
@@ -117,9 +128,11 @@ def main():
     if args.one:
         import jax
         assert jax.default_backend() == "tpu", "chip-only probe"
-        b, remat, fused = (int(x) for x in args.one.split(":"))
+        parts = [int(x) for x in args.one.split(":")]
+        b, remat, fused = parts[:3]
+        chunked = parts[3] if len(parts) > 3 else 0
         print(json.dumps(attempt(args.size, args.peft, b, bool(remat),
-                                 bool(fused))))
+                                 bool(fused), chunked)))
         return
 
     # one subprocess per attempt: an OOM'd attempt must not leave dead
@@ -127,9 +140,11 @@ def main():
     import subprocess
     results, first_ok = [], None
     for spec in args.configs.split(","):
-        b, remat, fused = (int(x) for x in spec.split(":"))
-        print(f"[probe] attempting b={b} remat={remat} fused_ce={fused}",
-              file=sys.stderr)
+        parts = [int(x) for x in spec.split(":")]
+        b, remat, fused = parts[:3]
+        chunked = parts[3] if len(parts) > 3 else 0
+        print(f"[probe] attempting b={b} remat={remat} fused_ce={fused} "
+              f"chunked={chunked}", file=sys.stderr)
         proc = subprocess.run(
             [sys.executable, __file__, "--size", args.size,
              "--peft", args.peft, "--one", spec],
@@ -146,7 +161,8 @@ def main():
                         if "RESOURCE_EXHAUSTED" in l or "Error" in l),
                        tail[-1] if tail else "no output")[:300]
             results.append({"batch": b, "remat": bool(remat),
-                            "fused_ce": bool(fused), "error": msg})
+                            "fused_ce": bool(fused), "chunked_ce": chunked,
+                            "error": msg})
             print(f"[probe] FAIL: {msg}", file=sys.stderr)
 
     print(json.dumps({
