@@ -391,3 +391,24 @@ def test_bias_backward_batched_matches_serial(monkeypatch, causal, sq, sk):
     assert not fa._bwd_bias_batched_ok(512, 512, 64, 16)
     assert fa._bwd_bias_batched_ok(128, 128, 64, 16)
     assert fa._bwd_bias_batched_ok(128, 512, 64, 16)
+
+
+@pytest.mark.parametrize("causal,sq,sk", [(True, 128, 128), (False, 128, 256)])
+def test_bias_forward_batched_matches_per_bh(monkeypatch, causal, sq, sk):
+    """The batched bias forward (grid (H,), in-kernel batch loop) must
+    equal the per-(b,h) forward and the XLA reference."""
+    from mmgl_tpu.ops import flash_attention as fa
+
+    q, k, v, mask = _make_qkv(b=3, sq=sq, sk=sk, h=2, d=16, seed=31)
+    bias = _rand(jax.random.PRNGKey(32), 1, 2, sq, sk)
+    ref = xla_attention(q, k, v, kv_mask=mask, bias=bias, causal=causal)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MMGL_BIAS_FWD_BATCHED", mode)
+        outs[mode] = fa.flash_attention_bias(q, k, v, bias=bias,
+                                             kv_mask=mask, causal=causal,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outs["1"]), np.asarray(outs["0"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs["1"]), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
