@@ -101,10 +101,13 @@ def main():
         for impl, fn, env in variants:
             print(f"[ab] {name} {impl} ...", file=sys.stderr, flush=True)
             if env is not None:
+                # toggle fwd and bwd together: serial = the r4 schedule
                 os.environ["MMGL_BIAS_BWD_BATCHED"] = env
+                os.environ["MMGL_BIAS_FWD_BATCHED"] = env
             jax.clear_caches()
             res[impl] = measure(mk(fn), (q, k, v, bias), args.n1, args.n2)
         os.environ.pop("MMGL_BIAS_BWD_BATCHED", None)
+        os.environ.pop("MMGL_BIAS_FWD_BATCHED", None)
         tag = "+drop" if args.dropout else ""
         best = min(res["pallas_batched"], res["pallas_serial"])
         print(f"{name}{tag:6s} b={b}: pallas_batched "
