@@ -149,7 +149,11 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     kill_epoch = args.kill_epoch if args.kill_epoch is not None \
         else args.epochs // 2
-    kill_marker = f"Epoch: [{kill_epoch}][{args.steps // 2}"
+    # ProgressMeter right-pads the step to the width of the total
+    # ("[  6/500]"): build the marker with the same padding, otherwise a
+    # mid-width step count never matches and run B completes unkilled
+    mid = str(args.steps // 2).rjust(len(str(args.steps)))
+    kill_marker = f"Epoch: [{kill_epoch}][{mid}"
 
     env = dict(os.environ)
     total = args.epochs * args.steps
