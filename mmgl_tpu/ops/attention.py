@@ -24,6 +24,15 @@ NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finit
 # Env-overridable for on-chip dispatch tuning.
 PALLAS_MIN_KV = int(os.environ.get("MMGL_PALLAS_MIN_KV", "128"))
 
+# Smallest query length the NO-DROPOUT bias kernel is dispatched for. The
+# r4 row-serial schedule lost the short-query T5 decoder shapes to XLA
+# (dec 128x128 ~1.35x, cross 128x512 3.2x), hence 384; the r5 batched
+# fwd/bwd kernels target exactly those shapes — re-measure with
+# MMGL_BIAS_MIN_SQ=0 (scripts/ab_t5_attention.py) before changing the
+# default. (Training always dispatches: with prob-dropout the kernel wins
+# every shape.)
+BIAS_MIN_SQ = int(os.environ.get("MMGL_BIAS_MIN_SQ", "384"))
+
 
 def _supports_pallas() -> bool:
     return jax.default_backend() == "tpu"
@@ -107,7 +116,7 @@ def multi_head_attention(
         # failing VMEM allocation at compile/run time.
         and q.shape[1] <= 768
         and k.shape[1] <= 1024
-        and (q.shape[1] >= 384 or dropout_rate > 0.0)
+        and (q.shape[1] >= BIAS_MIN_SQ or dropout_rate > 0.0)
         and (bias is None or (bias.ndim == 4 and bias.shape[0] == 1))
         and (dropout_rate == 0.0 or
              (dropout_rng is not None and not interpret))
