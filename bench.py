@@ -41,6 +41,7 @@ which wins (VERDICT r1 item 8).
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -257,10 +258,9 @@ def _await_backend(max_wait: float) -> tuple:
     is known to drop for 30+ minutes, so we retry with a fixed 60 s backoff
     until max_wait. Returns (ok, detail).
     """
-    import subprocess
-
     probe = ("import jax; d = jax.devices(); "
              "assert d and d[0].platform == 'tpu', d")
+    probe_timeout = float(os.environ.get("MMGL_BENCH_PROBE_TIMEOUT", "150"))
     deadline = time.time() + max_wait
     attempt = 0
     last = ""
@@ -268,13 +268,13 @@ def _await_backend(max_wait: float) -> tuple:
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=150,
+                [sys.executable, "-c", probe], timeout=probe_timeout,
                 capture_output=True, text=True)
             if r.returncode == 0:
                 return True, f"backend up (attempt {attempt})"
             last = (r.stderr or r.stdout or "").strip()[-300:]
         except subprocess.TimeoutExpired:
-            last = "probe timed out after 150s (tunnel hang)"
+            last = f"probe timed out after {probe_timeout:.0f}s (tunnel hang)"
         remaining = deadline - time.time()
         print(f"[bench] TPU backend unavailable (attempt {attempt}): "
               f"{last.splitlines()[-1] if last else 'unknown'}; "
@@ -382,8 +382,6 @@ def _dispatch(args, jax):
         bench_eval(args)
         return
     if args.t5:
-        import subprocess
-
         sys.exit(subprocess.call(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
