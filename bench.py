@@ -337,6 +337,25 @@ def main():
     # backend guard: every mode except --data needs the chip. Wait (bounded)
     # for the tunnel, and degrade to structured error JSON instead of a
     # traceback if it never comes up.
+    # The driver bounds this process with `timeout` (SIGTERM). If it fires
+    # mid-wait or mid-measurement, the scoreboard must STILL get its one
+    # JSON line (VERDICT r4 weak #1) — emit the structured error and exit 0
+    # instead of dying silently. os._exit avoids jax/atexit teardown hangs.
+    import signal
+
+    def _on_term(signum, frame):
+        _emit_error(args, f"terminated by signal {signum} "
+                          f"(driver timeout?) before completing")
+        sys.stdout.flush()
+        os._exit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _on_term)
+        except (ValueError, OSError):   # non-main thread / exotic platform
+            pass
+    print("[bench] signal guard armed", file=sys.stderr, flush=True)
+
     plat = os.environ.get("JAX_PLATFORMS", "")
     needs_tpu = not args.data and "cpu" not in plat
     if needs_tpu:
@@ -354,6 +373,12 @@ def main():
 
     try:
         _dispatch(args, jax)
+        # measurement JSON is out: a late signal must not add a second line
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(_sig, signal.SIG_DFL)
+            except (ValueError, OSError):
+                pass
     except SystemExit:
         raise
     except Exception as e:

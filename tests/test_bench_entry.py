@@ -118,6 +118,39 @@ def test_await_backend_gives_up_within_budget(bench, monkeypatch):
     assert clock[0] < 400.0  # bounded: never far past the budget
 
 
+def test_sigterm_mid_wait_still_prints_json():
+    """The driver bounds bench.py with `timeout` (SIGTERM). A kill that
+    lands during the backend wait must still produce exit 0 + the one
+    structured JSON line, not a silent death (the r4 failure mode)."""
+    import time as _time
+
+    env = dict(os.environ, MMGL_BENCH_BACKEND_WAIT="100000",
+               MMGL_BENCH_PROBE_TIMEOUT="600")
+    env.pop("JAX_PLATFORMS", None)
+    p = subprocess.Popen(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    # wait for the armed marker so the TERM always lands on the handler,
+    # then a beat more so it lands inside the first backend probe — the
+    # probe's own `import jax` takes seconds, so we cannot reach a real
+    # measurement (and cannot touch a chip) before the kill
+    for _ in range(600):
+        line = p.stderr.readline()
+        if "signal guard armed" in line:
+            break
+    else:  # pragma: no cover
+        p.kill()
+        pytest.fail("never saw the armed marker")
+    _time.sleep(1.0)
+    p.terminate()
+    out, err = p.communicate(timeout=60)
+    assert p.returncode == 0, (p.returncode, err[-300:])
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, out
+    rec = json.loads(lines[0])
+    assert rec["value"] is None and "signal" in rec["error"]
+
+
 def test_cli_failure_path_prints_json_not_traceback():
     """End to end through __main__: the exact driver contract is exit 0 +
     EXACTLY ONE parseable JSON line on stdout, whatever the backend does.
