@@ -359,7 +359,7 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS", "")
     needs_tpu = not args.data and "cpu" not in plat
     if needs_tpu:
-        budget = float(os.environ.get("MMGL_BENCH_BACKEND_WAIT", "1800"))
+        budget = float(os.environ.get("MMGL_BENCH_BACKEND_WAIT", "3600"))
         ok, detail = _await_backend(budget)
         if not ok:
             _emit_error(args, detail)
