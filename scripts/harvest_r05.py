@@ -19,7 +19,10 @@ import re
 
 JSON_JOBS = ("bench_headline", "soak_5k", "probe_67b", "bench_t5",
              "bench_chunked", "bench_pipeline", "bench_pipeline_uncached",
-             "bench_eval", "bench_generate", "bench_data")
+             "bench_eval", "bench_generate", "bench_data",
+             # CPU-backend evidence captured while the tunnel was down
+             # (clearly labeled: backend stamped below)
+             "soak_cpu_tiny", "soak_cpu_tiny_short")
 TEXT_JOBS = ("verify_bias", "ab_t5", "ab_t5_drop", "ab_ce_chunked",
              "profile_t5")
 
@@ -37,10 +40,11 @@ def last_json_line(path):
     return rec
 
 
-def replay_record(log_dir):
+def replay_record(log_dir, suffix="", metric="replay_fidelity_on_chip"):
     """Fold verify_replay phase a+b logs into one structured record."""
     verdicts = {}
-    for phase, name in (("a", "verify_replay_a"), ("b", "verify_replay_b")):
+    for phase, name in (("a", f"verify_replay{suffix}_a"),
+                        ("b", f"verify_replay{suffix}_b")):
         p = os.path.join(log_dir, f"{name}.log")
         if not os.path.exists(p):
             continue
@@ -52,7 +56,7 @@ def replay_record(log_dir):
             verdicts[f"roundtrip_phase_{phase}"] = m.group(1).strip()
     if not verdicts:
         return None
-    return {"metric": "replay_fidelity_on_chip", "value":
+    return {"metric": metric, "value":
             1.0 if all(v == "EXACT" for k, v in verdicts.items()
                        if v in ("EXACT", "DIVERGES")) else 0.0,
             "unit": "all-tiers-exact", "vs_baseline": None,
@@ -73,12 +77,19 @@ def main():
             if rec is not None:
                 rec.setdefault("metric", name)
                 rec["job"] = name
+                if name.startswith("soak_cpu"):
+                    rec["backend"] = "cpu"
                 records.append(rec)
             else:
                 print(f"[harvest] {name}: no JSON tail yet")
     rr = replay_record(args.log_dir)
     if rr:
         records.append(rr)
+    rr_cpu = replay_record(args.log_dir, suffix="_cpu",
+                           metric="replay_fidelity_cpu")
+    if rr_cpu:
+        rr_cpu["backend"] = "cpu"
+        records.append(rr_cpu)
     for name in TEXT_JOBS:
         p = os.path.join(args.log_dir, f"{name}.log")
         if os.path.exists(p):
