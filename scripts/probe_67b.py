@@ -139,6 +139,16 @@ def main():
     # allocations (or a poisoned allocator) behind for the next one
     import subprocess
     results, first_ok = [], None
+
+    def summary():
+        return json.dumps({
+            "metric": f"opt{args.size}_train_sections_per_sec_per_chip",
+            "value": (first_ok or {}).get("sections_per_sec"),
+            "unit": "sections/s/chip",
+            "vs_baseline": None,
+            "extra": {"peft": args.peft, "attempts": results},
+        })
+
     for spec in args.configs.split(","):
         parts = [int(x) for x in spec.split(":")]
         b, remat, fused = parts[:3]
@@ -164,14 +174,10 @@ def main():
                             "fused_ce": bool(fused), "chunked_ce": chunked,
                             "error": msg})
             print(f"[probe] FAIL: {msg}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": f"opt{args.size}_train_sections_per_sec_per_chip",
-        "value": (first_ok or {}).get("sections_per_sec"),
-        "unit": "sections/s/chip",
-        "vs_baseline": None,
-        "extra": {"peft": args.peft, "attempts": results},
-    }))
+        # incremental scoreboard line: an outer `timeout` mid-queue must
+        # still leave a parseable (partial) summary for the harvester,
+        # which reads the LAST JSON line of the log
+        print(summary(), flush=True)
 
 
 if __name__ == "__main__":

@@ -2,10 +2,13 @@
 # Cleanly stop the round-5 chip queue: kill the queue shell and its child
 # job tree BY PID WALK (never by name pattern), append the DONE marker so
 # the autoharvest daemon can finish, run a final harvest, and commit.
-# Usage: scripts/stop_queue.sh [<queue-pidfile>]
+# Usage: scripts/stop_queue.sh [<queue-pidfile>...]
 set -u
 cd /root/repo
-PIDFILE=${1:-/tmp/chipq_all.pid}
+PIDFILES=("$@")
+if [[ ${#PIDFILES[@]} -eq 0 ]]; then
+  PIDFILES=(/tmp/chipq_all.pid /tmp/chipq_tail.pid)
+fi
 LOG=log/r05
 
 kill_tree() {
@@ -16,7 +19,8 @@ kill_tree() {
   kill "$pid" 2>/dev/null
 }
 
-if [[ -f $PIDFILE ]]; then
+for PIDFILE in "${PIDFILES[@]}"; do
+  [[ -f $PIDFILE ]] || continue
   qpid=$(cat "$PIDFILE")
   if kill -0 "$qpid" 2>/dev/null; then
     echo "stopping queue pid $qpid and its job tree"
@@ -28,7 +32,7 @@ if [[ -f $PIDFILE ]]; then
     done
     kill -9 "$qpid" 2>/dev/null
   fi
-fi
+done
 echo "=== QUEUE ALL DONE $(date -u +%H:%M:%S) (stopped by deadline guard)" \
   >> $LOG/queue.log
 python scripts/harvest_r05.py || true
