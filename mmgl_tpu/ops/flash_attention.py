@@ -571,13 +571,20 @@ def _gen_keep_factor(seed0, seed1, i, j, shape, thr32, keep_inv):
     """(shape) f32 factor: keep_inv where kept, 0 where dropped.
 
     Deterministic per (seed0, seed1, i, j) — the backward regenerates the
-    forward's exact mask by reseeding with the same tuple. (i, j) fold into
-    one block word; the TPU lowering mixes an arbitrary list of seed words
-    (prng_set_seed_32 takes a list). The comparison
+    forward's exact mask by reseeding with the same tuple. The TPU lowering
+    (tpu.prng_set_seed_32) accepts AT MOST two seed words on current
+    libtpu — a third word fails Mosaic compile ("Setting seed with more
+    than 2 values is not supported") — so the (i, j) block word is folded
+    into both key halves instead: seed0^blk keeps blocks distinct within a
+    call, seed1+blk*phi (odd golden-ratio multiplier) decorrelates the pair
+    so two calls whose keys differ only in one half still produce distinct
+    (word0, word1) tuples; cross-call collision resistance stays ~64-bit
+    because (seed0, seed1) is fresh random per attention call. The comparison
     runs in SIGNED int32 space (threshold shifted by 2^31) because the TPU
     PRNG materializes int32 lanes — an unsigned-constant compare silently
     promotes and measured a 0.40 keep fraction for keep=0.9 on v5e."""
-    pltpu.prng_seed(seed0, seed1, i * 65536 + j)
+    blk = i * 65536 + j
+    pltpu.prng_seed(seed0 ^ blk, seed1 + blk * (-1640531527))
     bits = jax.lax.bitcast_convert_type(pltpu.prng_random_bits(shape),
                                         jnp.int32)
     thr_signed = jnp.int32(thr32 - 2 ** 31)
@@ -670,7 +677,10 @@ def _fwd_bias_batched_ok(sq_p: int, sk_p: int, d: int, nbatch: int) -> bool:
         return False
     blocks = (2 * nbatch * sq_p * d * 2 + 2 * nbatch * sk_p * d * 2
               + sq_p * sk_p * 4 + 2 * sq_p * sk_p * 4)
-    fits = blocks <= 14 * 1024 * 1024
+    # 11 MB, not the 16 MB scoped-vmem limit: Mosaic's measured stack need
+    # runs ~1.3x this estimate (the bwd's 14.0 MB estimate allocated 18.0 MB
+    # on v5e and failed compile), so the budget keeps actual <= ~14 MB.
+    fits = blocks <= 11 * 1024 * 1024
     if mode == "1":
         return fits
     return fits and sq_p <= 256
@@ -917,7 +927,10 @@ def _bwd_bias_batched_ok(sq_p: int, sk_p: int, d: int, nbatch: int) -> bool:
         return False
     blocks = (4 * nbatch * sq_p * d * 2 + 4 * nbatch * sk_p * d * 2
               + 2 * sq_p * sk_p * 4 + 4 * sq_p * sk_p * 4)
-    fits = blocks <= 14 * 1024 * 1024
+    # 11 MB, not 16: at the encoder 512x512 shape this estimate said
+    # 14.0 MB but Mosaic allocated 18.0 MB of scoped vmem and failed
+    # compile (~1.3x stack overhead) — the budget keeps actual <= ~14 MB.
+    fits = blocks <= 11 * 1024 * 1024
     if mode == "1":
         return fits
     # auto: the serialized-grid penalty dominates at short query blocks;
