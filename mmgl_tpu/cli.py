@@ -91,6 +91,69 @@ def _honor_platform_env():
             pass  # backend already initialized (e.g. under pytest conftest)
 
 
+def _host_rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        pass
+    return 0.0
+
+
+def _watchdog_reexec(args, state, epoch, best_acc1, step_fp, n_procs,
+                     is_main, wandb_run):
+    """RSS watchdog (--rss_watchdog_gb): checkpoint at this epoch boundary
+    and replace the process image, resuming at epoch+1. Kill+resume is an
+    exact replay (epoch-indexed dropout stream + (epoch, pass)-deterministic
+    loader, scripts/verify_replay.py), so the restart does not perturb the
+    trajectory. Exists because some host<->device transport layers leak host
+    memory per transfer (scripts/probe_rss_leak.py measured ~1.0x transferred
+    bytes per step on this harness's tunnel client); re-exec is the only way
+    to return that memory. No-ops (with a warning) when it cannot guarantee
+    a correct resume: multi-process runs (ranks would need to agree) or an
+    explicit --save_dir outside --log_dir (resume paths are log_dir-relative,
+    cli.py resume block)."""
+    import sys
+
+    rss = _host_rss_gb()
+    if n_procs > 1:
+        if is_main:
+            print(f"[rss-watchdog] RSS {rss:.2f} GB > "
+                  f"{args.rss_watchdog_gb} GB but --distributed: skipping "
+                  "re-exec (ranks cannot agree on a host-local trigger)")
+        return
+    run_dir = os.path.dirname(args.save_dir)
+    resume_name = os.path.relpath(run_dir, args.log_dir)
+    if resume_name.startswith(".."):
+        print(f"[rss-watchdog] RSS {rss:.2f} GB > {args.rss_watchdog_gb} GB "
+              f"but --save_dir {args.save_dir} is outside --log_dir "
+              f"{args.log_dir}: cannot form a resume path, skipping re-exec")
+        return
+    if not (args.save_every_epochs
+            and (epoch + 1) % args.save_every_epochs == 0):
+        # the periodic save didn't cover this boundary — write one now so
+        # the re-exec'd process resumes at exactly epoch+1
+        checkpoints.save_checkpoint(args.save_dir + "_latest", state,
+                                    epoch, best_acc1)
+        if step_fp is not None:
+            checkpoints.save_fingerprint(args.save_dir + "_latest", step_fp)
+    if wandb_run is not None:
+        wandb_run.finish()
+    argv = list(sys.argv[1:])
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        del argv[i:i + 2]
+    argv += ["--resume", resume_name]
+    print(f"[rss-watchdog] RSS {rss:.2f} GB > {args.rss_watchdog_gb} GB "
+          f"after epoch {epoch}: re-exec'ing to reclaim host memory "
+          f"(resume {resume_name}, exact replay)")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, "-m", "mmgl_tpu.cli"] + argv)
+
+
 def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
     _honor_platform_env()
     if args.compilation_cache_dir and str(
@@ -460,6 +523,10 @@ def run_training(args: Arguments, log_fn=None) -> Dict[str, float]:
                 checkpoints.save_fingerprint(args.save_dir + "_latest",
                                              step_fp)
         print(f"Epoch {epoch} time: {time.time() - epoch_start}s")
+        if (args.rss_watchdog_gb and epoch < args.epochs - 1
+                and _host_rss_gb() > args.rss_watchdog_gb):
+            _watchdog_reexec(args, state, epoch, best_acc1, step_fp,
+                             n_procs, is_main, wandb_run)
 
     # ---- final test with best checkpoint (run_generation.py:421-428) ----
     if n_procs > 1:

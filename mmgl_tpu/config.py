@@ -33,6 +33,14 @@ class Arguments:
     # every N epochs also write a "latest" checkpoint (mid-run kill+resume;
     # 0 = reference behavior: only the best-val checkpoint is kept)
     save_every_epochs: int = 0
+    # when > 0: at each epoch boundary, if host RSS exceeds this many GB,
+    # checkpoint and re-exec the process, resuming at the next epoch. Because
+    # kill+resume is an exact replay (scripts/verify_replay.py), the restart
+    # is trajectory-invisible. Mitigates environments whose host->device
+    # transfer layer leaks host memory per transfer (measured on this
+    # harness's tunnel client at ~1.0x transferred bytes:
+    # scripts/probe_rss_leak.py). 0 = off.
+    rss_watchdog_gb: float = 0.0
 
     # ---- precision & seeding (reference :110-118) ----
     seed: Optional[int] = None

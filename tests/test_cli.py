@@ -239,3 +239,62 @@ def test_debug_dump_forensics_hook(tmp_path, monkeypatch):
         assert re.search(r"loss=\d+\.\d+e[+-]\d+$", lines[1]), lines[1]
         dumps.append(lines)
     assert dumps[0] == dumps[1], "identical runs produced different dumps"
+
+
+def test_rss_watchdog_reexec_exact(tmp_path):
+    """--rss_watchdog_gb: when host RSS exceeds the bound at an epoch
+    boundary, the CLI checkpoints and re-execs itself, resuming at the next
+    epoch. The restart must be an exact replay: the forensics dump of the
+    re-exec'd run matches an uninterrupted run update-for-update. This is
+    the production mitigation for hosts whose device-transfer layer leaks
+    RSS per transfer (measured: scripts/probe_rss_leak.py)."""
+    import subprocess
+    import sys
+
+    def run(name, extra, dump):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   MMGL_DEBUG_DUMP=str(dump))
+        cmd = [
+            sys.executable, "-m", "mmgl_tpu.cli",
+            "--model_name_or_path", "opt-tiny",
+            "--context", "section_only", "--neighbor_mode", "raw",
+            "--max_input_length", "32", "--max_output_length", "16",
+            "--per_device_train_batch_size", "2",
+            "--per_device_val_batch_size", "2",
+            "--epochs", "2", "--steps_per_epoch", "2",
+            "--val_steps_per_epoch", "1", "--grad_accumulation_steps", "1",
+            "--print_freq", "1", "--learning_rate", "1e-3",
+            "--lr_warmup_steps", "2", "--use_pallas", "false", "--seed", "0",
+            "--dataloader_num_workers", "1", "--prefetch_batches", "2",
+            "--log_dir", str(tmp_path / name), "--wandb_run", name,
+        ] + extra
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=600)
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        return out.stdout
+
+    dump_a = tmp_path / "dump_a.txt"
+    run("plain", [], dump_a)
+
+    dump_b = tmp_path / "dump_b.txt"
+    # 1e-3 GB: any real process exceeds it, so the watchdog fires at the
+    # first eligible boundary (after epoch 0; never after the final epoch)
+    out_b = run("watched", ["--rss_watchdog_gb", "0.001"], dump_b)
+    assert out_b.count("[rss-watchdog] RSS") == 1, out_b[-2000:]
+    assert "re-exec'ing to reclaim host memory" in out_b
+    # the re-exec'd image ran the second epoch and the final test
+    assert "Epoch: [1]" in out_b
+
+    a = dump_a.read_text().strip().splitlines()
+    b = dump_b.read_text().strip().splitlines()
+    assert len(a) == 8   # 2 epochs x 2 updates x (inputs + loss) lines
+    # Compare every value-bearing field (rng key, batch bytes, param bytes,
+    # step counter, losses). The `sig=` arg-signature field is EXPECTED to
+    # differ on the first post-resume update only: there the state carries
+    # the restored/canonicalized (fresh-path) jit signature while the
+    # uninterrupted run's state is a step output — the two signatures map to
+    # the same two cached executables every run compiles (fresh-init then
+    # step-output), so values match bitwise (checkpoints._canonicalize_restored).
+    strip = lambda ls: [re.sub(r"sig=\w+ ", "", l) for l in ls]
+    assert strip(a) == strip(b), \
+        "watchdog re-exec diverged from the uninterrupted run"
