@@ -22,7 +22,10 @@ JSON_JOBS = ("bench_headline", "soak_5k", "probe_67b", "bench_t5",
              "bench_eval", "bench_generate", "bench_data",
              # CPU-backend evidence captured while the tunnel was down
              # (clearly labeled: backend stamped below)
-             "soak_cpu_tiny", "soak_cpu_tiny_short")
+             "soak_cpu_tiny", "soak_cpu_tiny_short",
+             # session close-out: quiet-host T5 re-measure, transfer-leak
+             # probe, RSS-watchdog on-chip demo
+             "bench_t5_quiet", "probe_rss_leak", "probe_watchdog")
 TEXT_JOBS = ("verify_bias", "ab_t5", "ab_t5_drop", "ab_ce_chunked",
              "profile_t5")
 
